@@ -1,0 +1,301 @@
+"""Single-pass suite executor.
+
+The reference executes rules sequentially, each expectation re-traversing the
+whole pandas DataFrame (reference ``quality_engine.py:135-139, 432-443``) —
+N expectations = N full scans, all in driver RAM. Here the ENTIRE suite
+(every expectation of every rule, including uniqueness counts) is fused into
+ONE ``df.agg(...)`` job: one scan of the table, conditional partial
+aggregates inside whole-stage codegen, a single-row result to the driver.
+Catalyst prunes the scan to exactly the columns the suite references.
+
+Follow-up jobs run only for *failing* expectations and only when samples are
+requested: ``limit(10)`` unexpected values and ``limit(5)`` complete failing
+rows (reference caps at ``quality_engine.py:213, 284, 388-395``) — tiny,
+early-terminating jobs.
+
+Result dicts reproduce the reference's three-level shape exactly
+(suite: ``quality_engine.py:146-155``; rule: ``:448-459``; expectation:
+``:248-258`` et al.), including ``mostly`` semantics: success iff
+``unexpected_percent <= (1 - mostly) * 100`` (``:241``), percent computed
+against the full row count, empty table ⇒ success (``:238``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataqualityassistant_spark.rules import Rule, normalize_rule_config
+from dataqualityassistant_spark.operators.compiler import (
+    CompiledExpectation,
+    compile_expectation,
+    type_matches,
+    REFERENCE_TYPES,
+)
+
+
+def _serialize_value(v: Any) -> Any:
+    """Sample-row value serialization, mirroring the reference's
+    ``prepare_sample_rows`` (quality_engine.py:181-204): datetimes →
+    isoformat, NaN → None. Spark rows are JVM-native so no numpy handling
+    is needed; binary columns are pruned before collection instead."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, float) and v != v:  # NaN
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return v
+
+
+def _row_to_sample(row) -> dict[str, Any]:
+    return {k: _serialize_value(v) for k, v in row.asDict(recursive=True).items()}
+
+
+class SuiteEngine:
+    """Compiles and executes a rule suite against a DataFrame.
+
+    Parameters
+    ----------
+    reference_parity:
+        restrict the operator registry to the five types the reference
+        evaluates; everything else fails with the reference's error message
+        (quality_engine.py:412-420). Off by default — pair/compare_to/of_type
+        run first-class.
+    approx_unique:
+        use ``approx_count_distinct`` for uniqueness counts (metric-grade at
+        10^12 rows; exact by default for label parity).
+    collect_samples:
+        fetch failing-row samples / unexpected values for failing
+        expectations (extra tiny jobs). Disable on giant batch runs where
+        only metrics matter.
+    """
+
+    def __init__(
+        self,
+        reference_parity: bool = False,
+        approx_unique: bool = False,
+        collect_samples: bool = True,
+        max_sample_rows: int = 5,
+        max_unexpected_values: int = 10,
+    ):
+        self.reference_parity = reference_parity
+        self.approx_unique = approx_unique
+        self.collect_samples = collect_samples
+        self.max_sample_rows = max_sample_rows
+        self.max_unexpected_values = max_unexpected_values
+
+    # -- compilation ------------------------------------------------------
+
+    def compile_rules(self, rules: Iterable[Rule]) -> list[tuple[Rule, list[CompiledExpectation]]]:
+        allowed = REFERENCE_TYPES if self.reference_parity else None
+        out = []
+        for rule in rules:
+            compiled = [
+                compile_expectation(e.expectation_type, e.kwargs, allowed_types=allowed)
+                for e in rule.expectations
+            ]
+            if self.approx_unique:
+                for ce in compiled:
+                    if ce.expectation_type == "expect_column_values_to_be_unique" and not ce.error:
+                        c = F.col(ce.column)
+                        ce._agg = {
+                            "n": F.count(F.lit(1)),
+                            "d": F.approx_count_distinct(c),
+                            "hasnull": F.max(c.isNull().cast("long")),
+                        }
+            out.append((rule, compiled))
+        return out
+
+    # -- execution --------------------------------------------------------
+
+    def execute(self, df: DataFrame, rules: Iterable[Rule], table_name: str = "",
+                run_ts: str | None = None) -> dict[str, Any]:
+        """Run the whole suite in one aggregate scan; returns the reference's
+        suite dict shape (quality_engine.py:141-155)."""
+        t0 = time.time()
+        rules = list(rules)
+        compiled = self.compile_rules(rules)
+        schema_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+        # A missing column must error THAT expectation, not crash the suite
+        # (reference catches per-expectation, quality_engine.py:422-430).
+        for (rule, ces) in compiled:
+            for exp, ce in zip(rule.expectations, ces):
+                if ce.error is None:
+                    missing = [c for c in exp.columns_referenced() if c not in schema_types]
+                    if missing:
+                        ce.error = f"Column '{missing[0]}' not found in table"
+                        ce.unexpected_mask = None
+
+        # --- the single-pass aggregate ---
+        agg_cols: list[Column] = [F.count(F.lit(1)).alias("__element_count")]
+        for i, (_, ces) in enumerate(compiled):
+            for j, ce in enumerate(ces):
+                if ce.error is None:
+                    agg_cols.extend(ce.agg_exprs(f"r{i}e{j}"))
+        agg_row = df.agg(*agg_cols).collect()[0].asDict()
+        element_count = int(agg_row["__element_count"])
+
+        results = []
+        for i, (rule, ces) in enumerate(compiled):
+            t_rule = time.time()
+            exp_results = []
+            for j, ce in enumerate(ces):
+                exp_results.append(
+                    self._finalize_expectation(df, ce, agg_row, f"r{i}e{j}", element_count, schema_types)
+                )
+            rule_success = all(r.get("success", False) for r in exp_results)
+            results.append(
+                {
+                    "rule_id": rule.id,
+                    "rule_name": rule.name,
+                    "success": rule_success,
+                    "statistics": {
+                        "evaluated_expectations": len(exp_results),
+                        "successful_expectations": sum(1 for r in exp_results if r.get("success", False)),
+                        "unsuccessful_expectations": sum(1 for r in exp_results if not r.get("success", False)),
+                        "total_rows": element_count,
+                    },
+                    "execution_time": time.time() - t_rule,
+                    "results": exp_results,
+                }
+            )
+
+        total_rules = len(results)
+        successful = sum(1 for r in results if r["success"])
+        return {
+            "table_name": table_name,
+            "execution_time": run_ts or "",
+            "total_duration": time.time() - t0,
+            "total_rules": total_rules,
+            "successful_rules": successful,
+            "failed_rules": total_rules - successful,
+            "success_rate": (successful / total_rules * 100) if total_rules > 0 else 0,
+            "results": results,
+        }
+
+    # -- per-expectation finalization --------------------------------------
+
+    def _finalize_expectation(self, df: DataFrame, ce: CompiledExpectation, agg_row: dict,
+                              prefix: str, element_count: int, schema_types: dict) -> dict:
+        if ce.error is not None:
+            return {
+                "expectation_type": ce.expectation_type,
+                "success": False,
+                "error": ce.error,
+                "sample_rows": [],
+                "kwargs": ce.kwargs,
+            }
+
+        try:
+            if ce.expectation_type == "expect_column_values_to_be_of_type":
+                declared = ce.kwargs.get("type_") or ce.kwargs.get("type", "")
+                actual = schema_types.get(ce.column, "")
+                ok = type_matches(declared, actual)
+                unexpected_count = 0 if ok else element_count
+            else:
+                unexpected_count = ce.count_from_row(agg_row, prefix)
+        except Exception as e:  # any evaluation error -> failed expectation
+            return {
+                "expectation_type": ce.expectation_type,
+                "success": False,
+                "error": str(e),
+                "sample_rows": [],
+                "kwargs": ce.kwargs,
+            }
+
+        # float64 percent arithmetic identical to the reference (:238)
+        unexpected_percent = (unexpected_count / element_count * 100) if element_count > 0 else 0
+        success = unexpected_percent <= (1 - ce.mostly) * 100  # `<=` — :241
+
+        result: dict[str, Any] = {
+            "element_count": element_count,
+            "unexpected_count": unexpected_count,
+            "unexpected_percent": unexpected_percent,
+        }
+        sample_rows: list[dict] = []
+        if unexpected_count > 0 and self.collect_samples:
+            if ce.values_kind == "rows":
+                vals = [
+                    r[0]
+                    for r in df.filter(ce.unexpected_mask)
+                    .select(ce.column)
+                    .limit(self.max_unexpected_values)
+                    .collect()
+                ]
+                result["unexpected_values"] = [_serialize_value(v) for v in vals]
+            elif ce.values_kind == "dups":
+                result["unexpected_values"] = [
+                    _serialize_value(r[0]) for r in self._dup_values(df, ce.column, self.max_unexpected_values)
+                ]
+            sample_rows = self._fetch_samples(df, ce)
+        elif ce.values_kind is not None:
+            result["unexpected_values"] = []
+
+        return {
+            "expectation_type": ce.expectation_type,
+            "success": success,
+            "result": result,
+            "sample_rows": sample_rows,
+            "kwargs": ce.kwargs,
+        }
+
+    def _dup_values(self, df: DataFrame, column: str, limit: int):
+        return (
+            df.groupBy(column)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > 1)
+            .select(column)
+            .limit(limit)
+            .collect()
+        )
+
+    def _sample_projection(self, df: DataFrame) -> DataFrame:
+        # Never deserialize binary payloads (e.g. the pages table's `html`)
+        # into driver samples — prune them before collect.
+        keep = [f.name for f in df.schema.fields if not isinstance(f.dataType, T.BinaryType)]
+        return df.select(*keep) if len(keep) != len(df.schema.fields) else df
+
+    def _fetch_samples(self, df: DataFrame, ce: CompiledExpectation) -> list[dict]:
+        dfp = self._sample_projection(df)
+        if ce.samples_kind == "mask" and ce.unexpected_mask is not None:
+            rows = dfp.filter(ce.unexpected_mask).limit(self.max_sample_rows).collect()
+            return [_row_to_sample(r) for r in rows]
+        if ce.samples_kind == "dups":
+            # reference :383-395: ≤5 dup values × ≤2 rows each, cap 5 total;
+            # pandas `df[col] == NaN` matches nothing, so null dup groups
+            # contribute no samples — filter nulls out of the fetch.
+            dup_vals = [r[0] for r in self._dup_values(df, ce.column, 5) if r[0] is not None]
+            samples: list[dict] = []
+            for v in dup_vals[:5]:
+                rows = dfp.filter(F.col(ce.column) == F.lit(v)).limit(2).collect()
+                samples.extend(_row_to_sample(r) for r in rows[:2])
+                if len(samples) >= self.max_sample_rows:
+                    break
+            return samples[: self.max_sample_rows]
+        return []
+
+    # -- row-level verdicts (webtext pipeline) -----------------------------
+
+    def keep_mask(self, rules: Iterable[Rule]) -> Column:
+        """Per-row keep predicate: a row is kept iff NO row-local expectation
+        flags it. (Row-granular analog of rule success = AND of expectations,
+        reference quality_engine.py:445-446.) Set-level checks (uniqueness,
+        of_type) don't contribute row verdicts — dedup is its own operator."""
+        mask = F.lit(True)
+        for _, ces in self.compile_rules(rules):
+            for ce in ces:
+                if ce.unexpected_mask is not None:
+                    mask = mask & ~ce.unexpected_mask
+        return mask
+
+
+def run_suite(df: DataFrame, rules: Iterable[Rule], table_name: str = "", **kwargs) -> dict[str, Any]:
+    """Convenience wrapper: the Spark-native analog of the reference's
+    ``POST /api/v1/rules/execute`` hot path (app/main.py:358-411)."""
+    return SuiteEngine(**kwargs).execute(df, rules, table_name=table_name)

@@ -1,0 +1,296 @@
+"""Unit + differential tests for the expectation operators E1-E5 and the
+extended (pair/compare_to/of_type) operators, covering the semantic traps
+from SURVEY.md §7: mostly `<=` boundary, full-row-count denominator, nulls
+passing value checks, start-anchored regex, pandas-style uniqueness
+arithmetic (nulls group together), empty-table success, unknown-type error.
+"""
+
+import math
+
+import pandas as pd
+import pytest
+
+from dataqualityassistant_spark import Rule, run_suite
+from dataqualityassistant_spark.operators.engine import SuiteEngine
+from dataqualityassistant_spark.oracle import oracle_expectation
+
+
+def mk_df(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+def single(spark_df, expectation_type, kwargs, **engine_kwargs):
+    rule = Rule(id=1, name="r", rule_config=[{"expectation_type": expectation_type, "kwargs": kwargs}])
+    suite = run_suite(spark_df, [rule], **engine_kwargs)
+    return suite["results"][0]["results"][0]
+
+
+# ---------------------------------------------------------------- E1 not_null
+
+def test_not_null_counts_and_percent(spark):
+    df = mk_df(spark, [("a",), (None,), (None,), ("b",)], "c: string")
+    r = single(df, "expect_column_values_to_not_be_null", {"column": "c"})
+    assert r["result"]["unexpected_count"] == 2
+    assert r["result"]["element_count"] == 4
+    assert r["result"]["unexpected_percent"] == 50.0
+    assert r["success"] is False
+    assert len(r["sample_rows"]) == 2
+
+
+def test_not_null_mostly_boundary_is_inclusive(spark):
+    # unexpected_percent == (1-mostly)*100 must PASS (reference uses `<=`).
+    # mostly=0.75 -> threshold 25.0 exactly representable in float64.
+    df = mk_df(spark, [(None,)] + [("x",)] * 3, "c: string")
+    r = single(df, "expect_column_values_to_not_be_null", {"column": "c", "mostly": 0.75})
+    assert r["result"]["unexpected_percent"] == pytest.approx(25.0)
+    assert r["success"] is True
+    r = single(df, "expect_column_values_to_not_be_null", {"column": "c", "mostly": 0.8})
+    assert r["success"] is False
+
+
+def test_mostly_float_artifact_parity(spark):
+    # (1-0.9)*100 = 9.999999999999998 in float64, so exactly-10%-unexpected
+    # FAILS — the reference computes the identical expression
+    # (quality_engine.py:241) and fails too. Bit-for-bit arithmetic parity.
+    df = mk_df(spark, [(None,)] + [("x",)] * 9, "c: string")
+    r = single(df, "expect_column_values_to_not_be_null", {"column": "c", "mostly": 0.9})
+    assert r["result"]["unexpected_percent"] == 10.0
+    assert r["success"] is ((10.0) <= (1 - 0.9) * 100)  # False, matching reference
+
+
+def test_empty_table_succeeds(spark):
+    df = spark.createDataFrame([], "c: string")
+    r = single(df, "expect_column_values_to_not_be_null", {"column": "c"})
+    assert r["result"]["element_count"] == 0
+    assert r["result"]["unexpected_percent"] == 0
+    assert r["success"] is True
+
+
+# ---------------------------------------------------------------- E2 in_set
+
+def test_in_set_nulls_pass_and_values_listed(spark):
+    df = mk_df(spark, [("en",), ("de",), ("xx",), (None,), ("yy",)], "lang: string")
+    r = single(df, "expect_column_values_to_be_in_set", {"column": "lang", "value_set": ["en", "de"]})
+    assert r["result"]["unexpected_count"] == 2  # null passes
+    assert sorted(r["result"]["unexpected_values"]) == ["xx", "yy"]
+    assert r["success"] is False
+
+
+def test_in_set_empty_value_set_all_nonnull_unexpected(spark):
+    df = mk_df(spark, [("a",), (None,)], "c: string")
+    r = single(df, "expect_column_values_to_be_in_set", {"column": "c", "value_set": []})
+    assert r["result"]["unexpected_count"] == 1
+
+
+# ---------------------------------------------------------------- E3 between
+
+def test_between_bounds_and_nulls(spark):
+    df = mk_df(spark, [(1,), (5,), (10,), (None,), (12,), (0,)], "v: int")
+    r = single(df, "expect_column_values_to_be_between", {"column": "v", "min_value": 1, "max_value": 10})
+    assert r["result"]["unexpected_count"] == 2  # 12 and 0; null passes
+    assert r["result"]["element_count"] == 6
+
+
+def test_between_only_min(spark):
+    df = mk_df(spark, [(1,), (-3,), (None,)], "v: int")
+    r = single(df, "expect_column_values_to_be_between", {"column": "v", "min_value": 0})
+    assert r["result"]["unexpected_count"] == 1
+
+
+def test_between_only_max(spark):
+    df = mk_df(spark, [(1,), (99,), (None,)], "v: int")
+    r = single(df, "expect_column_values_to_be_between", {"column": "v", "max_value": 50})
+    assert r["result"]["unexpected_count"] == 1
+
+
+# ---------------------------------------------------------------- E4 regex
+
+def test_regex_start_anchored_like_pandas_str_match(spark):
+    # 'abc' matches 'b' nowhere at start; pandas str.match semantics
+    df = mk_df(spark, [("abc",), ("bcd",), (None,), ("zabc",)], "s: string")
+    r = single(df, "expect_column_values_to_match_regex", {"column": "s", "regex": "a"})
+    # matches at start: 'abc' only -> unexpected: 'bcd', 'zabc' (null passes)
+    assert r["result"]["unexpected_count"] == 2
+
+
+def test_regex_email_pattern(spark):
+    pat = r"^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$"
+    df = mk_df(spark, [("a@b.com",), ("bad",), ("x@y.org",), (None,)], "email: string")
+    r = single(df, "expect_column_values_to_match_regex", {"column": "email", "regex": pat})
+    assert r["result"]["unexpected_count"] == 1
+    assert r["result"]["unexpected_values"] == ["bad"]
+
+
+def test_regex_numeric_column_stringified(spark):
+    # reference stringifies values before matching (astype(str))
+    df = mk_df(spark, [(123,), (4,), (None,)], "v: int")
+    r = single(df, "expect_column_values_to_match_regex", {"column": "v", "regex": r"\d{2,}"})
+    assert r["result"]["unexpected_count"] == 1  # only '4' fails
+
+
+# ---------------------------------------------------------------- E5 unique
+
+def test_unique_pandas_arithmetic(spark):
+    # values: [1, None, None, 2, 1, None] -> dup groups {1:2, null:3}
+    # unexpected = rows_in_dup_groups(5) - distinct_dup_values(2) = 3
+    df = mk_df(spark, [(1,), (None,), (None,), (2,), (1,), (None,)], "v: int")
+    r = single(df, "expect_column_values_to_be_unique", {"column": "v"})
+    assert r["result"]["unexpected_count"] == 3
+    assert r["result"]["element_count"] == 6
+
+
+def test_unique_all_distinct(spark):
+    df = mk_df(spark, [(1,), (2,), (3,)], "v: int")
+    r = single(df, "expect_column_values_to_be_unique", {"column": "v"})
+    assert r["result"]["unexpected_count"] == 0
+    assert r["success"] is True
+
+
+def test_unique_dup_values_and_samples(spark):
+    df = mk_df(spark, [("a", 1), ("a", 2), ("b", 3), ("c", 4), ("c", 5), ("c", 6)], "k: string, i: int")
+    r = single(df, "expect_column_values_to_be_unique", {"column": "k"})
+    assert r["result"]["unexpected_count"] == (2 - 1) + (3 - 1)
+    assert sorted(r["result"]["unexpected_values"]) == ["a", "c"]
+    assert 1 <= len(r["sample_rows"]) <= 5
+    # ≤2 samples per dup value
+    ks = [s["k"] for s in r["sample_rows"]]
+    assert all(ks.count(k) <= 2 for k in set(ks))
+
+
+def test_unique_null_group_counts_but_yields_no_samples(spark):
+    df = mk_df(spark, [(None,), (None,), ("x",)], "v: string")
+    r = single(df, "expect_column_values_to_be_unique", {"column": "v"})
+    assert r["result"]["unexpected_count"] == 1  # null group: 2 rows - 1 value
+    assert all(s["v"] is not None for s in r["sample_rows"])
+
+
+# -------------------------------------------------- unknown / parity / errors
+
+def test_unknown_type_fails_with_reference_error(spark):
+    df = mk_df(spark, [(1,)], "v: int")
+    r = single(df, "expect_bogus", {"column": "v"})
+    assert r["success"] is False
+    assert "not implemented in direct evaluation mode" in r["error"]
+
+
+def test_reference_parity_mode_fails_pair_ops(spark):
+    df = mk_df(spark, [(1, 1)], "a: int, b: int")
+    r = single(df, "expect_column_pair_values_to_be_equal", {"column_A": "a", "column_B": "b"},
+               reference_parity=True)
+    assert r["success"] is False and "not implemented" in r["error"]
+
+
+# ---------------------------------------------------------------- extended ops
+
+def test_pair_equal_first_class(spark):
+    df = mk_df(spark, [(1, 1), (2, 3), (None, None), (None, 4)], "a: int, b: int")
+    r = single(df, "expect_column_pair_values_to_be_equal", {"column_A": "a", "column_B": "b"})
+    # (2,3) differs; (None,4) differs one-sided; (None,None) passes null-safe
+    assert r["result"]["unexpected_count"] == 2
+
+
+def test_greater_than_other_column(spark):
+    df = mk_df(spark, [(5, 1), (1, 5), (3, 3), (None, 1)], "a: int, b: int")
+    r = single(df, "expect_column_values_to_be_greater_than_other_column",
+               {"column": "a", "compare_to": "b"})
+    assert r["result"]["unexpected_count"] == 2  # (1,5) and (3,3)
+
+
+def test_pair_in_set(spark):
+    df = mk_df(spark, [("x", 1), ("y", 2), ("x", 2)], "a: string, b: int")
+    r = single(df, "expect_column_pair_values_to_be_in_set",
+               {"column_A": "a", "column_B": "b", "value_pairs": [["x", 1], ["y", 2]]})
+    assert r["result"]["unexpected_count"] == 1
+
+
+def test_of_type(spark):
+    df = mk_df(spark, [(1, "s")], "a: int, b: string")
+    r = single(df, "expect_column_values_to_be_of_type", {"column": "a", "type_": "integer"})
+    assert r["success"] is True
+    r = single(df, "expect_column_values_to_be_of_type", {"column": "b", "type_": "integer"})
+    assert r["success"] is False
+    assert r["result"]["unexpected_count"] == 1
+
+
+def test_value_lengths_between(spark):
+    df = mk_df(spark, [("ab",), ("abcdef",), (None,), ("",)], "s: string")
+    r = single(df, "expect_column_value_lengths_to_be_between",
+               {"column": "s", "min_value": 1, "max_value": 4})
+    assert r["result"]["unexpected_count"] == 2  # 'abcdef' and ''
+
+
+# ---------------------------------------------------------------- rule/suite
+
+def test_rule_and_suite_rollups(spark):
+    df = mk_df(spark, [("en", 1), ("xx", 2), (None, 3)], "lang: string, v: int")
+    rules = [
+        Rule(id=1, name="good", rule_config=[
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "v", "min_value": 0, "max_value": 10}}]),
+        Rule(id=2, name="mixed", rule_config=[
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "lang", "value_set": ["en"]}},
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "v"}}]),
+    ]
+    suite = run_suite(df, rules, table_name="t")
+    assert suite["total_rules"] == 2
+    assert suite["successful_rules"] == 1
+    assert suite["failed_rules"] == 1
+    assert suite["success_rate"] == 50.0
+    mixed = suite["results"][1]
+    assert mixed["success"] is False  # AND of expectations
+    assert mixed["statistics"]["evaluated_expectations"] == 2
+    assert mixed["statistics"]["successful_expectations"] == 1
+
+
+def test_legacy_dict_config_coerced(spark):
+    df = mk_df(spark, [(None,)], "c: string")
+    rule = Rule(id=1, name="legacy",
+                rule_config='{"expectation_type": "expect_column_values_to_not_be_null", "kwargs": {"column": "c"}}')
+    suite = run_suite(df, [rule])
+    assert suite["results"][0]["statistics"]["evaluated_expectations"] == 1
+
+
+# ------------------------------------------------------------- differential
+
+DIFF_CASES = [
+    ("expect_column_values_to_not_be_null", {"column": "s"}),
+    ("expect_column_values_to_not_be_null", {"column": "s", "mostly": 0.5}),
+    ("expect_column_values_to_be_in_set", {"column": "s", "value_set": ["a", "b"]}),
+    ("expect_column_values_to_be_between", {"column": "v", "min_value": 2, "max_value": 7}),
+    ("expect_column_values_to_be_between", {"column": "v", "min_value": 2}),
+    ("expect_column_values_to_match_regex", {"column": "s", "regex": "a+"}),
+    ("expect_column_values_to_be_unique", {"column": "s"}),
+    ("expect_column_values_to_be_unique", {"column": "v"}),
+]
+
+
+@pytest.mark.parametrize("etype,kwargs", DIFF_CASES)
+def test_differential_vs_pandas_oracle(spark, etype, kwargs):
+    pdf = pd.DataFrame({
+        "s": ["a", "aa", "b", None, "a", "c", None, "aa", "zb", "b"],
+        "v": [1, 5, 5, None, 9, 2, 2, 2, 100, -1],
+    })
+    sdf = spark.createDataFrame(pdf.astype({"v": "object"}), "s: string, v: double")
+    want = oracle_expectation(pdf, etype, kwargs)
+    got = single(sdf, etype, kwargs)
+    assert got["result"]["unexpected_count"] == want["unexpected_count"]
+    assert got["result"]["unexpected_percent"] == pytest.approx(want["unexpected_percent"])
+    assert got["success"] == want["success"]
+
+
+def test_missing_column_errors_one_expectation_not_suite(spark):
+    df = mk_df(spark, [("en", 1)], "lang: string, v: int")
+    rules = [
+        Rule(id=1, name="bad", rule_config=[
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "no_such_col"}}]),
+        Rule(id=2, name="good", rule_config=[
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "v"}}]),
+    ]
+    suite = run_suite(df, rules)
+    assert suite["results"][0]["success"] is False
+    assert "not found" in suite["results"][0]["results"][0]["error"]
+    assert suite["results"][1]["success"] is True

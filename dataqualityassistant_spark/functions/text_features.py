@@ -1,0 +1,228 @@
+"""Gopher/C4-style heuristic text features.
+
+Every feature except n-gram repetition is a pure Spark SQL expression
+(split / filter / transform / aggregate / regexp_count): JVM-side,
+whole-stage-codegen'd, zero Python on the hot path. Repetition features
+(top-k word n-gram character fractions, per the Gopher paper's repetition
+filters) need per-document hash maps, so they run in one Arrow-batched
+pandas UDF.
+
+``pandas_text_features`` is the exact pandas mirror used by the oracle to
+freeze golden keep/drop labels — both implementations are tested equal on
+the fixture corpus (tests/test_webtext.py).
+
+The features become plain derived columns, so quality rules over them are
+ordinary compiled expectations (`expect_column_values_to_be_between` on
+`word_count`, etc.) and ride the engine's single-pass aggregate.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from dataqualityassistant_spark.functions.corpus import EN_STOPWORDS
+
+_STOPWORDS = sorted(EN_STOPWORDS)
+
+# Order matters for docs: these are the columns with_text_features adds.
+FEATURE_COLUMNS = [
+    "n_chars",
+    "word_count",
+    "mean_word_length",
+    "stopword_ratio",
+    "symbol_word_ratio",
+    "alpha_word_ratio",
+    "n_lines",
+    "mean_line_length",
+    "max_line_length",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "dup_line_frac",
+    "top_2gram_char_frac",
+    "top_3gram_char_frac",
+    "dup_5gram_char_frac",
+]
+
+
+def _norm_word(w: Column) -> Column:
+    # lowercase, strip leading/trailing non-letters (so "The," matches "the")
+    return F.regexp_replace(F.lower(w), r"(^[^a-z]+)|([^a-z]+$)", "")
+
+
+def text_feature_exprs(text_col: str = "text") -> dict[str, Column]:
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    wc = F.size(words)
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != F.lit(""))
+    nl = F.size(lines)
+
+    def safe_ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    total_word_chars = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    total_line_chars = F.aggregate(lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l))
+
+    n_stop = F.size(F.filter(words, lambda w: _norm_word(w).isin(*_STOPWORDS)))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_symbols = (
+        F.regexp_count(t, F.lit("#"))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.regexp_count(t, F.lit("…"))
+    )
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•·]")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    n_distinct_lines = F.size(F.array_distinct(lines))
+
+    guard = t.isNotNull()
+
+    def g(expr: Column) -> Column:
+        return F.when(guard, expr)
+
+    return {
+        "n_chars": g(F.length(t)),
+        "word_count": g(wc),
+        "mean_word_length": g(safe_ratio(total_word_chars, wc)),
+        "stopword_ratio": g(safe_ratio(n_stop, wc)),
+        "symbol_word_ratio": g(safe_ratio(n_symbols, wc)),
+        "alpha_word_ratio": g(safe_ratio(n_alpha, wc)),
+        "n_lines": g(nl),
+        "mean_line_length": g(safe_ratio(total_line_chars, nl)),
+        "max_line_length": g(F.when(nl > 0, F.array_max(F.transform(lines, F.length)))),
+        "bullet_line_frac": g(safe_ratio(n_bullet, nl)),
+        "ellipsis_line_frac": g(safe_ratio(n_ellipsis, nl)),
+        "dup_line_frac": g(safe_ratio(nl - n_distinct_lines, nl)),
+    }
+
+
+# ---------------------------------------------------------------- repetition
+
+def repetition_features(text: str | None) -> tuple[float, float, float]:
+    """(top_2gram_char_frac, top_3gram_char_frac, dup_5gram_char_frac).
+
+    Gopher-style repetition signals over word n-grams:
+      - fraction of characters contained in the single most frequent word
+        2-gram / 3-gram (when it occurs more than once);
+      - fraction of characters covered by 5-grams that occur ≥2 times.
+    Pure function shared by the Spark UDF and the pandas oracle.
+    """
+    if not text:
+        return (float("nan"),) * 3
+    words = [w for w in re.split(r"\s+", text) if w]
+    total_chars = sum(len(w) for w in words)
+    if total_chars == 0 or len(words) < 2:
+        return (0.0, 0.0, 0.0)
+
+    def top_ngram_frac(n: int) -> float:
+        if len(words) < n:
+            return 0.0
+        grams = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+        gram, cnt = max(sorted(grams.items()), key=lambda kv: kv[1])
+        if cnt < 2:
+            return 0.0
+        return cnt * sum(len(w) for w in gram) / total_chars
+
+    def dup_ngram_char_frac(n: int) -> float:
+        if len(words) < n:
+            return 0.0
+        grams = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+        covered = [False] * len(words)
+        for i in range(len(words) - n + 1):
+            if grams[tuple(words[i : i + n])] >= 2:
+                for j in range(i, i + n):
+                    covered[j] = True
+        return sum(len(w) for w, c in zip(words, covered) if c) / total_chars
+
+    return (
+        min(top_ngram_frac(2), 1.0),
+        min(top_ngram_frac(3), 1.0),
+        min(dup_ngram_char_frac(5), 1.0),
+    )
+
+
+# Explicit DataType (not a DDL string): string return types are parsed at
+# decoration time and require an active SparkContext, which Python workers
+# importing this module don't have.
+_REP_TYPE = T.StructType(
+    [
+        T.StructField("top_2gram_char_frac", T.DoubleType()),
+        T.StructField("top_3gram_char_frac", T.DoubleType()),
+        T.StructField("dup_5gram_char_frac", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_REP_TYPE)
+def repetition_udf(texts: pd.Series) -> pd.DataFrame:
+    vals = texts.map(repetition_features)
+    return pd.DataFrame(
+        {
+            "top_2gram_char_frac": vals.map(lambda v: v[0]),
+            "top_3gram_char_frac": vals.map(lambda v: v[1]),
+            "dup_5gram_char_frac": vals.map(lambda v: v[2]),
+        }
+    )
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add all FEATURE_COLUMNS. One projection; Catalyst computes the shared
+    `words`/`lines` arrays once per output row via subexpression elimination."""
+    exprs = text_feature_exprs(text_col)
+    df = df.withColumns(exprs)
+    rep = repetition_udf(F.col(text_col))
+    return (
+        df.withColumn("__rep", rep)
+        .withColumns(
+            {
+                "top_2gram_char_frac": F.col("__rep.top_2gram_char_frac"),
+                "top_3gram_char_frac": F.col("__rep.top_3gram_char_frac"),
+                "dup_5gram_char_frac": F.col("__rep.dup_5gram_char_frac"),
+            }
+        )
+        .drop("__rep")
+    )
+
+
+# ---------------------------------------------------------------- pandas mirror
+
+def _pandas_features_one(text: str | None) -> dict:
+    out: dict[str, object] = {c: None for c in FEATURE_COLUMNS}
+    if text is None:
+        return out
+    words = [w for w in re.split(r"\s+", text) if w]
+    lines = [l.strip() for l in text.split("\n")]
+    lines = [l for l in lines if l]
+    wc, nl = len(words), len(lines)
+    out["n_chars"] = len(text)
+    out["word_count"] = wc
+    out["n_lines"] = nl
+    if wc > 0:
+        total_wchars = sum(len(w) for w in words)
+        out["mean_word_length"] = total_wchars / wc
+        norm = [re.sub(r"(^[^a-z]+)|([^a-z]+$)", "", w.lower()) for w in words]
+        out["stopword_ratio"] = sum(1 for w in norm if w in EN_STOPWORDS) / wc
+        n_symbols = text.count("#") + len(re.findall(r"\.\.\.", text)) + text.count("…")
+        out["symbol_word_ratio"] = n_symbols / wc
+        out["alpha_word_ratio"] = sum(1 for w in words if re.search("[A-Za-z]", w)) / wc
+    if nl > 0:
+        out["mean_line_length"] = sum(len(l) for l in lines) / nl
+        out["max_line_length"] = max(len(l) for l in lines)
+        out["bullet_line_frac"] = sum(1 for l in lines if re.match(r"^[-*•·]", l)) / nl
+        out["ellipsis_line_frac"] = sum(1 for l in lines if re.search(r"(\.\.\.|…)$", l)) / nl
+        out["dup_line_frac"] = (nl - len(set(lines))) / nl
+    r2, r3, r5 = repetition_features(text)
+    out["top_2gram_char_frac"] = r2
+    out["top_3gram_char_frac"] = r3
+    out["dup_5gram_char_frac"] = r5
+    return out
+
+
+def pandas_text_features(texts: pd.Series) -> pd.DataFrame:
+    """Oracle-side mirror of with_text_features (used to freeze labels)."""
+    return pd.DataFrame([_pandas_features_one(t) for t in texts], index=texts.index)

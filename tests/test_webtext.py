@@ -1,0 +1,192 @@
+"""Webtext pipeline tests: feature parity Spark↔pandas, langid/perplexity
+behavior, golden-label F1, byte-identical scrub, and checkpointed resume."""
+
+import math
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualityassistant_spark.fixtures import pages_batch, pages_spark_df, PAGES_SCHEMA
+from dataqualityassistant_spark.functions.corpus import LANG_SENTENCES
+from dataqualityassistant_spark.functions.langid import classify_text
+from dataqualityassistant_spark.functions.perplexity import log_perplexity
+from dataqualityassistant_spark.functions.scrub import scrub_text_column, scrub_text_python
+from dataqualityassistant_spark.functions.text_features import (
+    FEATURE_COLUMNS,
+    pandas_text_features,
+    with_text_features,
+)
+from dataqualityassistant_spark.plans.quality_filter import QualityFilterPipeline, default_webtext_rules
+from dataqualityassistant_spark.webtext_oracle import oracle_score_pages
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return pages_batch(0, 600)
+
+
+@pytest.fixture(scope="module")
+def pages_sdf(spark, pages_pdf):
+    return spark.createDataFrame(pages_pdf, schema=PAGES_SCHEMA)
+
+
+# ----------------------------------------------------------- feature parity
+
+def test_spark_features_match_pandas_mirror(spark, pages_pdf, pages_sdf):
+    got = (
+        with_text_features(pages_sdf.select("url", "text"))
+        .orderBy("url")
+        .toPandas()
+        .set_index("url")
+    )
+    want = pandas_text_features(pages_pdf["text"])
+    want.index = pages_pdf["url"]
+    want = want.sort_index()
+    for col in FEATURE_COLUMNS:
+        g = got[col].astype(float)
+        w = want[col].astype(float)
+        both_nan = g.isna() & w.isna()
+        close = (g - w).abs() < 1e-9
+        ok = (both_nan | close).all()
+        assert ok, f"feature {col} mismatch: {got[col][~(both_nan | close)].head()} vs {w[~(both_nan | close)].head()}"
+
+
+# ----------------------------------------------------------------- langid
+
+def test_langid_identifies_corpus_languages():
+    for lang, sentences in LANG_SENTENCES.items():
+        for s in sentences:
+            assert classify_text(s)[0] == lang, (lang, s)
+
+
+def test_langid_short_text_unknown():
+    assert classify_text(None)[0] == "zz"
+    assert classify_text("hi")[0] == "zz"
+
+
+# -------------------------------------------------------------- perplexity
+
+def test_perplexity_orders_clean_below_gibberish():
+    clean = "The river carried the small boat past the old mill before the rain began."
+    gibberish = "xqzrt plovng krzwfy qquualk jxobrn tlkxq zrtplo vngkrz"
+    assert log_perplexity(clean) < log_perplexity(gibberish) - 0.5
+    assert math.isnan(log_perplexity(None))
+    assert math.isnan(log_perplexity(""))
+
+
+# -------------------------------------------------------------------- scrub
+
+def test_scrub_patterns():
+    t = ("Write to john.doe@example.com or call +1 212-555-1234. "
+         "SSN 123-45-6789, card 4111 1111 1111 1111, host 10.0.0.1, a frakking mess.")
+    s = scrub_text_python(t)
+    assert "[EMAIL]" in s and "[PHONE]" in s and "[SSN]" in s
+    assert "[CARD]" in s and "[IP]" in s and "[REDACTED]" in s
+    assert "john.doe" not in s and "4111" not in s and "frakking" not in s
+
+
+def test_scrub_byte_identical_jvm_vs_python(spark, pages_pdf, pages_sdf):
+    got = (
+        pages_sdf.select("url", scrub_text_column("text").alias("scrubbed"))
+        .orderBy("url")
+        .toPandas()
+    )
+    want = pages_pdf.sort_values("url")["text"].map(scrub_text_python).reset_index(drop=True)
+    for g, w in zip(got["scrubbed"], want):
+        assert g == w or (g is None and w is None), f"scrub mismatch: {g!r} vs {w!r}"
+
+
+# ------------------------------------------------------------ golden labels
+
+def test_keep_drop_f1_vs_oracle(spark, pages_pdf, pages_sdf):
+    rules = default_webtext_rules()
+    want = oracle_score_pages(pages_pdf, rules).set_index("url")
+
+    pipe = QualityFilterPipeline(rules=rules)
+    got = pipe.score(pages_sdf).select("url", "verdict", "scrubbed_text").toPandas().set_index("url")
+
+    merged = got.join(want, how="inner", lsuffix="_spark", rsuffix="_oracle")
+    assert len(merged) == len(pages_pdf)
+    tp = ((merged["verdict_spark"]) & (merged["verdict_oracle"])).sum()
+    fp = ((merged["verdict_spark"]) & (~merged["verdict_oracle"])).sum()
+    fn = ((~merged["verdict_spark"]) & (merged["verdict_oracle"])).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1 {f1}: fp={fp} fn={fn}"
+    # byte-identical scrubbed text per url (north_rule invariant)
+    mismatch = merged[
+        merged["scrubbed_text_spark"].fillna("\0") != merged["scrubbed_text_oracle"].fillna("\0")
+    ]
+    assert mismatch.empty, mismatch.head()
+
+
+# -------------------------------------------------------- pipeline run/resume
+
+def test_pipeline_run_with_metrics_lineage_checkpoint(spark, tmp_path):
+    pages = pages_spark_df(spark, 400, partitions=4)
+    pipe = QualityFilterPipeline(n_buckets=8)
+    out = str(tmp_path / "out")
+    stats = pipe.run(
+        spark, pages, out,
+        metrics_path=str(tmp_path / "metrics"),
+        lineage_path=str(tmp_path / "lineage"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        run_id="t1", waves=2,
+    )
+    assert stats["rows"] == 400
+    assert stats["buckets_processed"] == 8
+
+    written = spark.read.parquet(out)
+    assert written.count() == 400
+    assert {"url", "verdict", "scrubbed_text", "failed_rules", "part_bucket"} <= set(written.columns)
+    assert "html" not in written.columns
+
+    metrics = spark.read.parquet(str(tmp_path / "metrics"))
+    # one row per (wave, row-local expectation)
+    n_exp = len(pipe._expectation_metric_masks())
+    assert metrics.count() == 2 * n_exp
+    assert {"rule_name", "unexpected_count", "unexpected_percent", "success"} <= set(metrics.columns)
+
+    lineage = spark.read.parquet(str(tmp_path / "lineage"))
+    assert lineage.count() == 8  # one row per bucket
+    agg = lineage.agg(F.sum("rows")).collect()[0][0]
+    assert agg == 400
+
+
+def test_pipeline_resume_is_idempotent(spark, tmp_path):
+    pages = pages_spark_df(spark, 300, partitions=4)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pipe = QualityFilterPipeline(n_buckets=6)
+
+    # simulate a crash: only 3 of 6 buckets complete
+    s1 = pipe.run(spark, pages, out, checkpoint_path=ckpt, run_id="r", max_buckets=3)
+    assert s1["buckets_processed"] == 3
+    partial = spark.read.parquet(out).count()
+    assert partial < 300
+
+    # resume: processes only the remaining buckets
+    s2 = pipe.run(spark, pages, out, checkpoint_path=ckpt, run_id="r")
+    assert s2["buckets_skipped"] == 3
+    assert s2["buckets_processed"] == 3
+
+    final = spark.read.parquet(out)
+    assert final.count() == 300  # no duplicates, no gaps
+    assert final.select("url").distinct().count() == 300
+
+    # re-run once more: everything checkpointed, nothing to do
+    s3 = pipe.run(spark, pages, out, checkpoint_path=ckpt, run_id="r")
+    assert s3["buckets_processed"] == 0
+    assert spark.read.parquet(out).count() == 300
+
+
+def test_domain_stats_salted(spark):
+    pages = pages_spark_df(spark, 300, partitions=4)
+    pipe = QualityFilterPipeline()
+    stats = pipe.domain_stats(pipe.score(pages))
+    rows = stats.collect()
+    assert sum(r["rows"] for r in rows) == 300
+    assert all(0 <= r["keep_rate"] <= 1 for r in rows)
+    # zipf skew: top domain should carry >10% of rows
+    assert max(r["rows"] for r in rows) > 30

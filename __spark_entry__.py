@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the expectation-suite engine's single-pass
+metrics over the sf0.001 documents table.
+``queries()`` / ``oracle_sql()`` — one pair per implemented operator from
+SURVEY.md §2 plus the training-data ops; oracles are ANSI SQL for DuckDB
+over the same parquet views. Ops that SQL cannot express (minhash/simhash/
+LSH/langid/fingerprints) have queries-only entries (driver records a
+rows-only check).
+
+All computed columns are aliased identically on both sides; counts are cast
+to BIGINT (DuckDB SUM yields HUGEINT otherwise) and ratios computed as
+CAST(x AS DOUBLE)/CAST(y AS DOUBLE) in the same operation order so the
+value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +19,454 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+from dataqualityassistant_spark.rules import Rule
+from dataqualityassistant_spark.operators.engine import SuiteEngine
+from dataqualityassistant_spark.ops.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_candidate_pairs,
+    simhash,
+    simhash_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from dataqualityassistant_spark.ops.similarity import cosine_topk, ann_topk_lsh
+from dataqualityassistant_spark.ops.textstats import TOKEN_PATTERN, with_fingerprints
+from dataqualityassistant_spark.functions.scrub import SCRUB_PATTERNS, scrub_text_column
+from dataqualityassistant_spark.functions.langid import langid_udf
+from dataqualityassistant_spark.functions.perplexity import perplexity_udf
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# expectation metric helpers (shared by several queries)
+
+def _metric_df(spark, df, expectation_type, kwargs):
+    """One-row DataFrame of the reference metric triple for one expectation,
+    computed by the single-pass engine."""
+    suite = SuiteEngine(collect_samples=False).execute(
+        df, [Rule(id=1, name="q", rule_config=[{"expectation_type": expectation_type, "kwargs": kwargs}])]
+    )
+    r = suite["results"][0]["results"][0]["result"]
+    return spark.createDataFrame(
+        [(int(r["element_count"]), int(r["unexpected_count"]), float(r["unexpected_percent"]),
+          bool(suite["results"][0]["results"][0]["success"]))],
+        "element_count bigint, unexpected_count bigint, unexpected_percent double, success boolean",
+    )
+
+
+_METRIC_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS element_count,
+       CAST({u} AS BIGINT) AS unexpected_count,
+       CASE WHEN COUNT(*) > 0
+            THEN (CAST({u} AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 100.0
+            ELSE 0.0 END AS unexpected_percent,
+       (CASE WHEN COUNT(*) > 0
+             THEN (CAST({u} AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 100.0
+             ELSE 0.0 END) <= CAST('{allow}' AS DOUBLE) AS success
+FROM {table}
+"""
+
+
+def _metric_sql(table: str, unexpected_expr: str, mostly: float = 1.0) -> str:
+    # repr() keeps full float64 precision; the CAST-from-string avoids
+    # DuckDB parsing the literal as DECIMAL (different comparison semantics
+    # than the engine's float64 `<=`, reference quality_engine.py:241).
+    return _METRIC_SQL.format(u=unexpected_expr, allow=repr((1 - mostly) * 100.0), table=table)
+
+
+# --------------------------------------------------------------------------
+
+def q_exp_not_null_text(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "documents"),
+                      "expect_column_values_to_not_be_null", {"column": "text", "mostly": 0.9})
+
+
+def q_exp_in_set_lang(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "documents"),
+                      "expect_column_values_to_be_in_set",
+                      {"column": "lang", "value_set": ["en", "de", "fr", "es"], "mostly": 0.8})
+
+
+def q_exp_between_nchars(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "documents"),
+                      "expect_column_values_to_be_between",
+                      {"column": "n_chars", "min_value": 100, "max_value": 5000, "mostly": 0.5})
+
+
+def q_exp_regex_source(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "documents"),
+                      "expect_column_values_to_match_regex",
+                      {"column": "source", "regex": "src[0-9]+"})
+
+
+def q_exp_unique_user(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "events"),
+                      "expect_column_values_to_be_unique", {"column": "user_id"})
+
+
+def q_exp_pair_greater(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "lineitem"),
+                      "expect_column_values_to_be_greater_than_other_column",
+                      {"column": "l_extendedprice", "compare_to": "l_quantity"})
+
+
+def q_suite_documents(spark, sf_dir):
+    """Whole suite in one engine pass; one output row per expectation."""
+    rules = [
+        Rule(id=1, name="docs_basic", rule_config=[
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "text", "mostly": 0.9}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "lang", "value_set": ["en", "de", "fr", "es"], "mostly": 0.8}},
+        ]),
+        Rule(id=2, name="docs_shape", rule_config=[
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "n_chars", "min_value": 100, "max_value": 5000, "mostly": 0.5}},
+            {"expectation_type": "expect_column_values_to_be_unique",
+             "kwargs": {"column": "doc_id"}},
+        ]),
+    ]
+    suite = SuiteEngine(collect_samples=False).execute(_t(spark, sf_dir, "documents"), rules)
+    rows = []
+    for rr in suite["results"]:
+        for er in rr["results"]:
+            rows.append((rr["rule_name"], er["expectation_type"],
+                         int(er["result"]["element_count"]),
+                         int(er["result"]["unexpected_count"]), bool(er["success"])))
+    return spark.createDataFrame(
+        rows, "rule_name string, expectation_type string, element_count bigint, "
+              "unexpected_count bigint, success boolean")
+
+
+def q_word_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.when(F.col("text").isNotNull(), F.size(words)).cast("bigint").alias("word_count"),
+        F.length("text").cast("bigint").alias("len_chars"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("text").isNotNull(),
+               F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0))))
+        .cast("bigint").alias("token_count"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def q_scrub_pii(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", scrub_text_column("text").alias("scrubbed"))
+
+
+def q_topk_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = cosine_topk(emb, q, k=10)
+    return top.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1996-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_topk_events_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+def q_profile_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("text")).cast("bigint").alias("n_null_text"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        (F.sum(F.length("text")).cast("double") / F.count("text").cast("double")).alias("avg_len"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+    )
+
+
+def q_fk_orphan_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    orphans = orders.join(F.broadcast(cust.select("c_custkey")),
+                          orders.o_custkey == cust.c_custkey, "left_anti")
+    return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("orphan_count"))
+
+
+def q_ngram_jaccard_dups(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs over documents ∪ (documents re-keyed) —
+    every doc pairs with its copy at jaccard 1.0; SQL-expressible oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("text").isNotNull())
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    pairs = ngram_jaccard_pairs(docs.unionByName(shifted), n=3, threshold=0.999)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---- non-SQL-expressible ops: queries-only (rows-only driver check) ----
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("text").isNotNull())
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    sigs = minhash_signatures(docs.unionByName(shifted), n_hashes=64, shingle=9)
+    return minhash_candidate_pairs(sigs, bands=16, threshold=0.9)
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("text").isNotNull())
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return simhash_candidate_pairs(simhash(docs.unionByName(shifted)), max_hamming=2)
+
+
+def q_langid_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid_udf(F.col("text"))["lang"].alias("detected_lang"))
+
+
+def q_perplexity_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(perplexity_udf(F.col("text")), 6).alias("log_ppl"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = ann_topk_lsh(emb, q, k=10, n_planes=8)
+    return top.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+def q_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprints(docs).select(
+        "doc_id", F.size("fingerprints").alias("n_fingerprints"))
+
+
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: single-pass expectation-suite metrics on sf0.001 documents."""
+    return q_suite_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exp_not_null_text": q_exp_not_null_text,
+        "exp_in_set_lang": q_exp_in_set_lang,
+        "exp_between_nchars": q_exp_between_nchars,
+        "exp_regex_source": q_exp_regex_source,
+        "exp_unique_user": q_exp_unique_user,
+        "exp_pair_greater": q_exp_pair_greater,
+        "suite_documents": q_suite_documents,
+        "word_stats": q_word_stats,
+        "token_counts": q_token_counts,
+        "dedup_exact": q_dedup_exact,
+        "scrub_pii": q_scrub_pii,
+        "topk_cosine": q_topk_cosine,
+        "tpch_q1": q_tpch_q1,
+        "topk_events_per_user": q_topk_events_per_user,
+        "profile_docs": q_profile_docs,
+        "events_hourly": q_events_hourly,
+        "fk_orphan_orders": q_fk_orphan_orders,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "langid_docs": q_langid_docs,
+        "perplexity_docs": q_perplexity_docs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "fingerprints": q_fingerprints,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _scrub_sql_chain() -> str:
+    expr = "text"
+    for _, pattern, repl in SCRUB_PATTERNS:
+        p = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    in_set = "'en','de','fr','es'"
+    return {
+        "exp_not_null_text": _metric_sql(
+            "documents", "SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)", 0.9),
+        "exp_in_set_lang": _metric_sql(
+            "documents",
+            f"SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN ({in_set}) THEN 1 ELSE 0 END)", 0.8),
+        "exp_between_nchars": _metric_sql(
+            "documents",
+            "SUM(CASE WHEN n_chars IS NOT NULL AND (n_chars < 100 OR n_chars > 5000) THEN 1 ELSE 0 END)", 0.5),
+        "exp_regex_source": _metric_sql(
+            "documents",
+            "SUM(CASE WHEN source IS NOT NULL AND NOT regexp_matches(CAST(source AS VARCHAR), '^(?:src[0-9]+)') THEN 1 ELSE 0 END)"),
+        "exp_unique_user": _metric_sql(
+            "events",
+            "COUNT(*) - COUNT(DISTINCT user_id) - (CASE WHEN COUNT(*) > COUNT(user_id) THEN 1 ELSE 0 END)"),
+        "exp_pair_greater": _metric_sql(
+            "lineitem",
+            "SUM(CASE WHEN l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_extendedprice <= l_quantity THEN 1 ELSE 0 END)"),
+        "suite_documents": f"""
+            SELECT 'docs_basic' AS rule_name,
+                   'expect_column_values_to_not_be_null' AS expectation_type,
+                   CAST(COUNT(*) AS BIGINT) AS element_count,
+                   CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+                   (CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 100.0 <= CAST('9.999999999999998' AS DOUBLE) AS success
+            FROM documents
+            UNION ALL
+            SELECT 'docs_basic', 'expect_column_values_to_be_in_set',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN ({in_set}) THEN 1 ELSE 0 END) AS BIGINT),
+                   (CAST(SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN ({in_set}) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 100.0 <= CAST('19.999999999999996' AS DOUBLE)
+            FROM documents
+            UNION ALL
+            SELECT 'docs_shape', 'expect_column_values_to_be_between',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN n_chars IS NOT NULL AND (n_chars < 100 OR n_chars > 5000) THEN 1 ELSE 0 END) AS BIGINT),
+                   (CAST(SUM(CASE WHEN n_chars IS NOT NULL AND (n_chars < 100 OR n_chars > 5000) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 100.0 <= 50.0
+            FROM documents
+            UNION ALL
+            SELECT 'docs_shape', 'expect_column_values_to_be_unique',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(DISTINCT doc_id) - (CASE WHEN COUNT(*) > COUNT(doc_id) THEN 1 ELSE 0 END) AS BIGINT),
+                   (CAST(COUNT(*) - COUNT(DISTINCT doc_id) - (CASE WHEN COUNT(*) > COUNT(doc_id) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 100.0 <= 0.0
+            FROM documents
+        """,
+        "word_stats": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS word_count,
+                   CAST(length(text) AS BIGINT) AS len_chars
+            FROM documents
+        """,
+        "token_counts": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS token_count
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text
+        """,
+        "scrub_pii": f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {_scrub_sql_chain()} AS scrubbed FROM documents",
+        "topk_cosine": """
+            SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1996-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "topk_events_per_user": """
+            SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+                   value, CAST(rn AS INT) AS rn
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+                  FROM events)
+            WHERE rn <= 3
+        """,
+        "profile_docs": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(text) AS BIGINT) AS n_null_text,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(SUM(length(text)) AS DOUBLE) / CAST(COUNT(text) AS DOUBLE) AS avg_len
+            FROM documents
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "fk_orphan_orders": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS orphan_count
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        """,
+        "ngram_jaccard_dups": r"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE text IS NOT NULL
+            ),
+            toks AS (
+                SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+                FROM base
+            ),
+            grams AS (
+                SELECT doc_id, COUNT(DISTINCT g) AS n_grams
+                FROM (
+                    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                    FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+                    WHERE len(ws) >= 3
+                ) GROUP BY doc_id
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3
+            ),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM shingles a JOIN shingles b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   ROUND(CAST(i AS DOUBLE) / CAST(ga.n_grams + gb.n_grams - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN grams ga ON ga.doc_id = id_a
+            JOIN grams gb ON gb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / CAST(ga.n_grams + gb.n_grams - i AS DOUBLE) >= 0.999
+        """,
+        # minhash_dup_pairs / simhash_dup_pairs / langid_docs / perplexity_docs
+        # / ann_lsh_topk / fingerprints: intentionally omitted — hash-model /
+        # model-based ops with no SQL equivalent (rows-only driver check).
+    }

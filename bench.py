@@ -1,0 +1,133 @@
+"""Per-round benchmark. Prints ONE JSON line:
+
+    {"metric": "pipeline_docs_per_sec", "value": <total headline sec>,
+     "unit": "sec", "queries": {<name>: sec, ...}, "sf": <sf>,
+     "docs_per_sec": ..., "scaling": {"cores_lo": .., "cores_hi": ..,
+     "docs_per_sec_lo": .., "docs_per_sec_hi": .., "efficiency": ..}}
+
+- headline operator queries run at $SPARK_GRAFT_SF_DIR (default
+  /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+- the quality-filter pipeline runs on a deterministic synthetic pages table
+  (seed=42, cached parquet) at TWO parallelism levels — local[8] vs
+  local[32] — in fresh JVM subprocesses, standing in for the north rule's
+  N vs 4N executor scaling check; efficiency = (thr_hi / thr_lo) / (hi/lo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORES_LO = int(os.environ.get("SPARK_GRAFT_BENCH_LO", "8"))
+
+HEADLINE = [
+    "suite_documents",
+    "tpch_q1",
+    "dedup_exact",
+    "word_stats",
+    "token_counts",
+    "topk_cosine",
+    "topk_events_per_user",
+    "minhash_dup_pairs",
+    "langid_docs",
+    "scrub_pii",
+]
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def ensure_pages(spark, n_rows: int) -> str:
+    cache = os.path.join(REPO, ".bench_cache", f"pages_{n_rows}")
+    marker = os.path.join(cache, "_SUCCESS")
+    if not os.path.exists(marker):
+        from dataqualityassistant_spark.fixtures import write_pages_fixture
+
+        write_pages_fixture(spark, cache, n_rows, partitions=64)
+    return cache
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("dqa-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.driver.memory", "24g")  # local mode: driver is the executor
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        fn(spark, SF_DIR).count()  # warm (file listing, code paths)
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 4)
+
+    sf = _sf_label(SF_DIR)
+    n_pages = 40000 if sf >= 0.1 else 4000
+    pages_path = ensure_pages(spark, n_pages)
+    spark.stop()
+
+    scaling = {}
+    have_taskset = subprocess.run(["which", "taskset"], capture_output=True).returncode == 0
+    for cores in (CORES_LO, CPUS):
+        cmd = [sys.executable, "-m", "dataqualityassistant_spark.benchrun",
+               "--cores", str(cores), "--pages", pages_path]
+        if have_taskset:
+            # pin the whole JVM+Python-worker tree to `cores` hardware CPUs:
+            # local[N] tasks also spawn Python workers, so an unpinned
+            # local[8] run would consume up to ~16 hardware cores and fake
+            # the small-cluster baseline.
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=1800)
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        scaling[cores] = json.loads(line)
+
+    lo, hi = scaling[CORES_LO], scaling[CPUS]
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    efficiency = speedup / (CPUS / CORES_LO)
+
+    print(json.dumps({
+        "metric": "pipeline_docs_per_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages_rows": n_pages,
+        "docs_per_sec": round(hi["docs_per_sec"], 2),
+        "scaling": {
+            "cores_lo": CORES_LO, "cores_hi": CPUS,
+            "docs_per_sec_lo": round(lo["docs_per_sec"], 2),
+            "docs_per_sec_hi": round(hi["docs_per_sec"], 2),
+            "speedup": round(speedup, 3),
+            "efficiency": round(efficiency, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Subprocess worker for the scaling benchmark: runs the full quality-filter
+pipeline on a pre-generated pages parquet at a given core count in a fresh
+JVM, printing one JSON line with docs/sec. Invoked by bench.py at two
+parallelism levels (local[8] vs local[32]) as the sandbox stand-in for the
+N vs 4N executor cluster-size check (BASELINE.md)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--buckets", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .appName(f"dqa-bench-{args.cores}")
+        .config("spark.sql.shuffle.partitions", str(args.cores))
+        .config("spark.driver.memory", "24g")  # local mode: driver is the executor
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from dataqualityassistant_spark.plans.quality_filter import QualityFilterPipeline
+
+    # 3-4 input partitions per core keeps all workers busy through the tail.
+    pages = spark.read.parquet(args.pages).repartition(args.cores * 3)
+    n = pages.count()
+    pipe = QualityFilterPipeline(n_buckets=args.buckets)
+
+    # Warm-up: spin up one Python worker per core (module imports + model
+    # table builds happen once per worker and would otherwise be billed to
+    # the timed run — a cluster amortizes them over hours).
+    warm = pages.limit(args.cores * 8).repartition(args.cores)
+    pipe.score(warm).agg(F.count(F.lit(1))).collect()
+
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.time()
+        stats = pipe.run(spark, pages, f"{d}/out", run_id="bench", waves=1)
+        dt = time.time() - t0
+
+    print(json.dumps({"cores": args.cores, "rows": n, "sec": dt, "docs_per_sec": n / dt}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

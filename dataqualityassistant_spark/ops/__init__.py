@@ -1,0 +1,36 @@
+"""Training-data pipeline operators beyond the reference's rule engine:
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
+similarity search (brute-force + LSH-bucketed ANN), text statistics, and
+multimodal binary-column plumbing."""
+
+from dataqualityassistant_spark.ops.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_candidate_pairs,
+    simhash,
+    simhash_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from dataqualityassistant_spark.ops.similarity import cosine_topk, lsh_bucket_ids, ann_topk_lsh
+from dataqualityassistant_spark.ops.textstats import (
+    with_token_count,
+    with_quality_score,
+    fingerprint_udf,
+    TOKEN_PATTERN,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash",
+    "simhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_bucket_ids",
+    "ann_topk_lsh",
+    "with_token_count",
+    "with_quality_score",
+    "fingerprint_udf",
+    "TOKEN_PATTERN",
+]

@@ -1,0 +1,244 @@
+"""Document deduplication operators.
+
+Four strategies, each with a distinct cost/recall profile at 10^12-doc scale:
+
+- **exact**: hash-groupBy on the full text. One shuffle keyed by a 64-bit
+  hash (never the raw text — shuffle volume stays O(rows × 8B + survivors)).
+- **MinHash + LSH**: char-shingle MinHash signatures (Arrow-batched numpy),
+  banded into LSH buckets; only same-bucket pairs are candidates, so the
+  self-join is bucket-local instead of all-pairs. Signature agreement
+  estimates Jaccard for the final threshold.
+- **SimHash**: 64-bit fingerprints, Hamming-banded (4×16-bit chunks): near
+  dups collide on at least one chunk by pigeonhole when hamming ≤ 3.
+- **n-gram Jaccard**: exact word-shingle Jaccard via explode + shingle join —
+  the expensive exact method, for small candidate sets or validation.
+
+All hashing is deterministic (xxhash64 JVM-side, fixed-parameter universal
+hashing numpy-side) — no Python ``hash()`` (salted per process) anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = False) -> DataFrame:
+    """Keep the min-id representative of each exact-text group.
+
+    groupBy on xxhash64(text) rather than the text itself: the shuffle moves
+    8-byte keys, and at 10^12 rows the aggregate is a standard two-phase
+    hash agg. (Hash collisions at 64 bits are ~1e-7 even at 10^12 docs;
+    pass ``normalize`` to pre-fold case/whitespace first.)
+    Returns the surviving (id, text-hash) pairs joined back to full rows.
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(t), r"\s+", " ")
+    keyed = df.withColumn("__k", F.xxhash64(t))
+    survivors = keyed.groupBy("__k").agg(F.min(id_col).alias(id_col)).drop("__k")
+    return df.join(survivors, id_col, "left_semi")
+
+
+# ------------------------------------------------------------------ minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Deterministic 64-bit hashes of the k-char shingles (zlib.crc32 over
+    two offsets → 64 bits; stable across processes, unlike hash())."""
+    import zlib
+
+    if text is None or len(text) < k:
+        return np.empty(0, dtype=np.int64)
+    data = text.encode("utf-8", "ignore")
+    n = max(len(data) - k + 1, 1)
+    out = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        chunk = data[i : i + k]
+        # 63-bit combined hash (crc of chunk + crc of reversed chunk); masked
+        # so it always fits a signed int64
+        out[i] = ((zlib.crc32(chunk) << 32) | zlib.crc32(chunk[::-1])) & 0x7FFFFFFFFFFFFFFF
+    return np.unique(out)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_hashes: int = 128, shingle: int = 9, seed: int = 42) -> DataFrame:
+    """(id, signature array<long>) via an Arrow-batched numpy UDF.
+    Per batch: shingle-hash each doc, then one vectorized
+    ``min((a*h + b) mod p)`` over (n_shingles × n_hashes)."""
+    a, b = _hash_params(n_hashes, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = _shingle_hashes(t, shingle)
+            if h.size == 0:
+                out.append(None)
+                continue
+            hv = h.astype(np.uint64)[:, None]
+            vals = (hv * a.astype(np.uint64)[None, :] + b.astype(np.uint64)[None, :]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
+
+
+def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                            bands: int = 16, threshold: float = 0.8) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows of
+    (band_idx, band_hash); a self-join on those keys yields candidate pairs
+    (bucket-local — never all-pairs); signature agreement >= threshold is
+    the returned Jaccard estimate filter.
+
+    Scale notes: the exploded table is rows×bands; the self-join shuffles on
+    (band, hash) so only colliding docs meet. Giant buckets (boilerplate
+    shingles) are handled upstream by salting or by capping bucket size.
+    """
+    n_hashes_col = F.size("signature")
+    rows_per_band = F.floor(n_hashes_col / bands).cast("int")
+    banded = (
+        signatures.where(F.col("signature").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("signature"),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            rows_per_band.alias("rpb"),
+        )
+        .select(
+            id_col,
+            "signature",
+            "band",
+            F.xxhash64(F.slice("signature", F.col("band") * F.col("rpb") + 1, F.col("rpb"))).alias("bh"),
+        )
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bh")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bh")
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agreement = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = agreement / F.size("sig_a")
+    return (
+        pairs.withColumn("jaccard_est", est.cast("double"))
+        .where(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens (Arrow-batched numpy): each token's
+    64-bit hash votes ±1 per bit position; the sign vector is the print."""
+    import zlib
+
+    @pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        bits = np.arange(64, dtype=np.uint64)
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            tokens = t.lower().split()
+            if not tokens:
+                out.append(None)
+                continue
+            hs = np.fromiter(
+                (((zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())) & 0xFFFFFFFFFFFFFFFF
+                 for w in tokens),
+                dtype=np.uint64, count=len(tokens),
+            )
+            votes = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+            counts = (2 * votes - 1).sum(axis=0)
+            val = np.uint64(0)
+            for i in range(64):
+                if counts[i] > 0:
+                    val |= np.uint64(1) << np.uint64(i)
+            out.append(int(val.astype(np.int64)))
+        return pd.Series(out, dtype="Int64")
+
+    return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4×16-bit
+    chunk banding (pigeonhole: ≤3 differing bits leave ≥1 chunk equal),
+    then an exact bit_count(xor) filter on the candidates."""
+    chunks = [F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+              for i in range(4)]
+    t = hashes.where(F.col("simhash").isNotNull()).select(id_col, "simhash", *chunks)
+    out = None
+    for i in range(4):
+        l = t.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), F.col(f"c{i}").alias("k"))
+        r = t.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), F.col(f"c{i}").alias("k"))
+        cand = l.join(r, "k").where(F.col("id_a") < F.col("id_b")).drop("k")
+        out = cand if out is None else out.unionByName(cand)
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        out.distinct()
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs sharing at least
+    one shingle. Pure DataFrame algebra (explode → shingle self-join →
+    count ∩ → |A|+|B|−∩ union). Exact and therefore the most expensive
+    strategy — at web scale run it only on LSH candidates; standalone it is
+    still bucket-local per shingle (hot shingles = skew; drop top-frequency
+    shingles upstream for real corpora)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    grams = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.xxhash64(F.concat_ws("", F.slice(words, i + 1, n))),
+            )
+        ),
+    )
+    shingled = (
+        df.select(F.col(id_col), grams.alias("grams"))
+        .where(F.col("grams").isNotNull())
+        .select(id_col, F.size("grams").alias("n_grams"), F.explode("grams").alias("g"))
+    )
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g")
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

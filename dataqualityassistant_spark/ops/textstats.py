@@ -1,0 +1,85 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+composite quality scoring, and winnowing document fingerprints. Language-ID
+and perplexity live in :mod:`dataqualityassistant_spark.functions`."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# BPE-ish pre-tokenization: letter runs, digit runs, or single non-space
+# symbols — the standard byte-pair pre-split shape, expressible in both Java
+# regex (JVM regexp_extract_all) and RE2 (DuckDB oracle).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_expr(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNotNull(), F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), F.lit(0))))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out_col: str = "token_count") -> DataFrame:
+    return df.withColumn(out_col, token_count_expr(text_col))
+
+
+def quality_score_expr() -> Column:
+    """Composite 0..1 quality score over the derived feature columns
+    (requires with_text_features upstream): equal-weight blend of
+    stopword presence, alphabetic density, length adequacy, and
+    non-repetitiveness. A cheap single-number ranking signal."""
+    stop = F.least(F.coalesce(F.col("stopword_ratio") / 0.3, F.lit(0.0)), F.lit(1.0))
+    alpha = F.coalesce(F.col("alpha_word_ratio"), F.lit(0.0))
+    length = F.least(F.coalesce(F.col("word_count") / 100.0, F.lit(0.0)), F.lit(1.0))
+    non_rep = F.lit(1.0) - F.least(
+        F.coalesce(F.col("dup_5gram_char_frac"), F.lit(0.0)), F.lit(1.0)
+    )
+    return ((stop + alpha + length + non_rep) / 4.0).alias("quality_score")
+
+
+def with_quality_score(df: DataFrame, out_col: str = "quality_score") -> DataFrame:
+    return df.withColumn(out_col, quality_score_expr())
+
+
+_W = 8  # winnowing window (fingerprints per ~W tokens)
+_K = 5  # k-gram size
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """Winnowing fingerprints (Schleimer et al.): rolling k-gram hashes,
+    minimum per sliding window, deduplicated — a compact, alignment-robust
+    document signature for copy detection. Deterministic crc-based hashing."""
+    out = []
+    for t in texts:
+        if not t:
+            out.append(None)
+            continue
+        tokens = t.lower().split()
+        if len(tokens) < _K:
+            out.append([])
+            continue
+        hs = np.fromiter(
+            (
+                ((zlib.crc32(" ".join(tokens[i : i + _K]).encode()) << 32)
+                 | zlib.crc32(" ".join(tokens[i : i + _K])[::-1].encode()))
+                & 0x7FFFFFFFFFFFFFFF
+                for i in range(len(tokens) - _K + 1)
+            ),
+            dtype=np.int64,
+        )
+        if hs.size <= _W:
+            out.append(sorted(set([int(hs.min())])))
+            continue
+        mins = {int(hs[i : i + _W].min()) for i in range(hs.size - _W + 1)}
+        out.append(sorted(mins))
+    return pd.Series(out)
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text", out_col: str = "fingerprints") -> DataFrame:
+    return df.withColumn(out_col, fingerprint_udf(F.col(text_col)))

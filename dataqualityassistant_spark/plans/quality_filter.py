@@ -40,9 +40,8 @@ from pyspark.sql import functions as F
 
 from dataqualityassistant_spark.rules import Rule
 from dataqualityassistant_spark.operators.engine import SuiteEngine
-from dataqualityassistant_spark.functions.text_features import with_text_features
-from dataqualityassistant_spark.functions.langid import langid_udf
-from dataqualityassistant_spark.functions.perplexity import perplexity_udf
+from dataqualityassistant_spark.functions.text_features import text_feature_exprs
+from dataqualityassistant_spark.functions.scoring import with_text_scores
 from dataqualityassistant_spark.functions.scrub import scrub_text_column
 from dataqualityassistant_spark.streaming.checkpoint import CheckpointStore
 
@@ -118,13 +117,10 @@ class QualityFilterPipeline:
         Arrow boundary (input_hint: carried through but unscanned)."""
         cols = [c for c in df.columns if c != "html"]
         scored = df.select(*cols)
-        scored = with_text_features(scored, self.text_col)
-        lid = langid_udf(F.col(self.text_col))
-        scored = (
-            scored.withColumn("detected_lang", lid["lang"])
-            .withColumn("langid_margin", lid["margin"])
-            .withColumn("log_ppl", perplexity_udf(F.col(self.text_col)))
-        )
+        # JVM features in one projection; ALL Python-side scores (repetition,
+        # langid, perplexity) in ONE fused Arrow UDF stage.
+        scored = scored.withColumns(text_feature_exprs(self.text_col))
+        scored = with_text_scores(scored, self.text_col)
 
         engine = SuiteEngine(reference_parity=self.reference_parity)
         failed = []

@@ -1,0 +1,80 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+at sf0.01, run the matching oracle_sql() through DuckDB over the same
+parquet, and compare row counts + sorted values (the driver's
+order-insensitive value-hash, done as an explicit frame compare so
+mismatches are debuggable)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), key=lambda s: s.astype(str)).reset_index(drop=True)
+    return df
+
+
+def assert_frames_match(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    g, w = normalize(got), normalize(want)
+    assert list(g.columns) == list(w.columns), f"{name}: columns {list(g.columns)} != {list(w.columns)}"
+    for col in g.columns:
+        gc, wc = g[col], w[col]
+        if gc.dtype.kind in "fc" or wc.dtype.kind in "fc":
+            gn = gc.astype(float)
+            wn = wc.astype(float)
+            same = (gn.isna() & wn.isna()) | (gn == wn)
+            assert same.all(), f"{name}.{col}: float mismatch\n{pd.DataFrame({'got': gn[~same], 'want': wn[~same]}).head()}"
+        else:
+            same = (gc.isna() & wc.isna()) | (gc.astype(str) == wc.astype(str))
+            assert same.all(), f"{name}.{col}: mismatch\n{pd.DataFrame({'got': gc[~same], 'want': wc[~same]}).head()}"
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    got = QUERIES[name](spark, SF_DIR).toPandas()
+    want = duck.execute(ORACLES[name]).df()
+    assert_frames_match(got, want, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert df.schema is not None
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.schema is not None

@@ -1,0 +1,135 @@
+"""Tests for dedup, similarity search, text stats, and multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualityassistant_spark.ops.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_candidate_pairs,
+    simhash,
+    simhash_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from dataqualityassistant_spark.ops.similarity import cosine_topk, ann_topk_lsh, lsh_bucket_ids
+from dataqualityassistant_spark.ops.textstats import with_token_count, fingerprint_udf, with_fingerprints
+from dataqualityassistant_spark.ops.multimodal import decode_images, sample_video_frames, synthetic_media_df
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "across the wide green field toward the old farm house by the river")
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit -> near duplicate
+OTHER = ("completely different content about database engines and vectorized "
+         "execution with columnar storage formats and adaptive query plans "
+         "running on large distributed clusters every single day")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE), (2, BASE),          # exact dups
+        (3, NEAR),                      # near dup of 1/2
+        (4, OTHER), (5, None), (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(out) == [1, 3, 4, 5, 6]  # doc 2 removed (dup of 1)
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, n_hashes=64, shingle=5)
+    pairs = minhash_candidate_pairs(sigs, bands=16, threshold=0.5).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in got  # exact dup: jaccard 1.0
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert not any(4 in p for p in got)  # unrelated doc not paired
+    exact = pairs[(pairs["id_a"] == 1) & (pairs["id_b"] == 2)]
+    assert (exact["jaccard_est"] == 1.0).all()
+
+
+def test_simhash_hamming(spark, docs):
+    pairs = simhash_candidate_pairs(simhash(docs), max_hamming=6).toPandas()
+    got = {tuple(sorted((a, b))): h for a, b, h in zip(pairs["id_a"], pairs["id_b"], pairs["hamming"])}
+    assert got.get((1, 2)) == 0  # identical text -> identical simhash
+    assert (1, 3) in got  # near dup within hamming budget
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3).toPandas()
+    got = {tuple(sorted((a, b))): j for a, b, j in zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])}
+    assert got.get((1, 2)) == 1.0
+    assert 0.5 < got.get((1, 3), 0) < 1.0
+    assert (1, 4) not in got
+
+
+def test_cosine_topk_brute_force(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((50, 8)).astype("float32")
+    vecs[17] = vecs[0] * 2.0  # same direction as query -> cosine 1.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    top = cosine_topk(df, vecs[0].tolist(), k=3).toPandas()
+    assert set(top["vec_id"][:2]) == {0, 17}
+    assert top["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+    assert list(top["cosine"]) == sorted(top["cosine"], reverse=True)
+
+
+def test_ann_lsh_recall_of_exact_match(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    q = vecs[42].tolist()
+    got = ann_topk_lsh(df, q, k=5, n_planes=8).toPandas()
+    assert got["vec_id"].iloc[0] == 42  # the vector itself lives in the probed bucket
+    assert got["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+    # buckets cover all rows deterministically
+    b = lsh_bucket_ids(df, n_planes=8).select("bucket").toPandas()["bucket"]
+    assert b.notna().all()
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("Hello, world 42!",), (None,), ("",)], "text: string")
+    out = with_token_count(df).toPandas()["token_count"]
+    # Hello , world 42 !  -> 5
+    assert out[0] == 5 and pd.isna(out[1]) and out[2] == 0
+
+
+def test_fingerprints_detect_overlap(spark, docs):
+    fp = with_fingerprints(docs).toPandas().set_index("doc_id")["fingerprints"]
+    s1, s2, s3, s4 = set(fp[1]), set(fp[2]), set(fp[3]), set(fp[4])
+    assert s1 == s2
+    assert len(s1 & s3) / len(s1 | s3) > 0.4
+    assert not (s1 & s4)
+
+
+def test_multimodal_decode_and_frames(spark):
+    media = synthetic_media_df(spark, 24)
+    feats = decode_images(media).toPandas()
+    assert len(feats) == 24
+    assert feats["features"].map(len).eq(16).all()
+    assert (feats["width"] >= 64).all()
+    # determinism: same payload -> same features
+    again = decode_images(media).toPandas()
+    assert feats.sort_values("media_id")["width"].tolist() == again.sort_values("media_id")["width"].tolist()
+
+    frames = sample_video_frames(media).toPandas()
+    assert (frames["offset"] % 4096 == 0).all()
+    assert frames.groupby("media_id")["frame_idx"].min().eq(0).all()
+
+
+def test_multimodal_payload_pruned(spark, tmp_path):
+    # sample_video_frames touches only (media_id, n_bytes): the parquet scan
+    # must prune the binary payload out of its ReadSchema entirely.
+    p = str(tmp_path / "media")
+    synthetic_media_df(spark, 8).write.parquet(p)
+    media = spark.read.parquet(p)
+    plan = sample_video_frames(media)._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l.split("ReadSchema:")[1] for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "payload" not in read_schema[0]
+    assert "n_bytes" in read_schema[0]

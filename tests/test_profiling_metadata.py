@@ -1,0 +1,138 @@
+"""Tests for profiling/suggestions/NL parsing and the rule metadata store."""
+
+import pytest
+
+from dataqualityassistant_spark.metadata import RuleStore
+from dataqualityassistant_spark.profiling import (
+    column_statistics,
+    infer_relationships,
+    profile_table,
+    rule_from_description,
+    suggest_rules,
+)
+
+
+@pytest.fixture(scope="module")
+def authors(spark):
+    # shape of the reference's seed fixture (seed_data.py): id/name/email
+    rows = [
+        (1, "John Smith", "john@example.com", True),
+        (2, "Jane Doe", "jane@example.com", False),
+        (3, None, "dup@example.com", True),
+        (4, "Sam Poe", None, None),
+    ]
+    return spark.createDataFrame(rows, "author_id: long, name: string, email: string, active: boolean")
+
+
+def test_column_statistics_single_pass(spark, authors):
+    stats = column_statistics(authors)
+    assert stats["author_id"]["min"] == 1 and stats["author_id"]["max"] == 4
+    assert stats["name"]["nulls"] == 1
+    assert stats["email"]["min_len"] == len("dup@example.com")
+    assert stats["active"]["true"] == 2 and stats["active"]["false"] == 1
+    assert stats["name"]["total_rows"] == 4
+
+
+def test_profile_table_shape(spark, authors):
+    p = profile_table(authors, sample_rows=10)
+    assert [c["column_name"] for c in p["columns"]] == ["author_id", "name", "email", "active"]
+    assert len(p["sample_data"]) == 4
+    assert "relationships" in p
+
+
+def test_relationships_fk_inference(spark):
+    df = spark.createDataFrame([(1, 2, "x")], "book_id: long, author_id: long, title: string")
+    rel = infer_relationships(df, sample=[])
+    fks = {f["column"]: f["potential_reference"] for f in rel["potential_foreign_keys"]}
+    assert fks == {"book_id": "books", "author_id": "authors"}
+
+
+def test_suggest_rules_heuristics(spark, authors):
+    sugg = suggest_rules(authors, "authors")
+    by_name = {s["rule_name"]: s for s in sugg}
+    assert "author_id_not_null" in by_name
+    assert "author_id_unique" in by_name
+    assert by_name["email_email_format"]["confidence"] == 80
+    cfg = by_name["email_email_format"]["rule_config"][0]
+    assert cfg["expectation_type"] == "expect_column_values_to_match_regex"
+
+
+@pytest.mark.parametrize("desc,expected_type", [
+    ("the email column must not be null", "expect_column_values_to_not_be_null"),
+    ("email values should be unique", "expect_column_values_to_be_unique"),
+    ("price should be between 10 and 100", "expect_column_values_to_be_between"),
+    ("price must be at least 5", "expect_column_values_to_be_between"),
+])
+def test_rule_from_description(desc, expected_type):
+    cols = ["email", "price", "name"]
+    r = rule_from_description(desc, cols)
+    assert r["expectation_type"] == expected_type
+    assert r["confidence"] <= 60
+
+
+def test_rule_from_description_no_column():
+    assert rule_from_description("must be pretty", ["email"]) is None
+
+
+# ------------------------------------------------------------ metadata store
+
+def test_rule_store_crud_and_versions(tmp_path):
+    store = RuleStore(str(tmp_path))
+    cfg = [{"expectation_type": "expect_column_values_to_not_be_null",
+            "kwargs": {"column": "name"}}]
+    r = store.create_rule("r1", "authors", cfg, run_ts="t0")
+    assert r.id == 1
+    assert len(store.versions(1)) == 1
+
+    store.update_rule(1, cfg + [{"expectation_type": "expect_column_values_to_be_unique",
+                                 "kwargs": {"column": "email"}}], run_ts="t1")
+    vs = store.versions(1)
+    assert [v.version_number for v in vs] == [2, 1]
+    assert [v.is_current for v in vs] == [True, False]  # exactly one current
+
+    got = store.get_rule(1)
+    assert len(got.expectations) == 2
+
+    store.delete_rule(1)
+    assert store.get_rule(1) is None
+    assert store.versions(1) == []  # cascade
+
+
+def test_rule_store_legacy_dict_config(tmp_path):
+    store = RuleStore(str(tmp_path))
+    r = store.create_rule("legacy", "t",
+                          '{"expectation_type": "expect_column_values_to_not_be_null", "kwargs": {"column": "c"}}')
+    assert len(r.expectations) == 1
+
+
+def test_duplicate_detection_and_apply_suggestions(tmp_path):
+    store = RuleStore(str(tmp_path))
+    sugg = [
+        {"rule_name": "a_not_null", "table_name": "t", "confidence": 90,
+         "rule_config": [{"expectation_type": "expect_column_values_to_not_be_null",
+                          "kwargs": {"column": "a"}}]},
+        {"rule_name": "a_not_null_again", "table_name": "t", "confidence": 95,
+         "rule_config": [{"expectation_type": "expect_column_values_to_not_be_null",
+                          "kwargs": {"column": "a"}}]},
+        {"rule_name": "low_conf", "table_name": "t", "confidence": 40,
+         "rule_config": [{"expectation_type": "expect_column_values_to_be_unique",
+                          "kwargs": {"column": "a"}}]},
+    ]
+    created = store.apply_suggestions(sugg, min_confidence=90)
+    assert [r.name for r in created] == ["a_not_null"]  # dup + low-conf skipped
+
+
+def test_nl_draft_workflow(tmp_path):
+    store = RuleStore(str(tmp_path))
+    r = store.create_from_description("price should be between 1 and 9", "t",
+                                      ["price", "name"])
+    assert r.is_draft is True  # confidence 50 < 70
+    done = store.finish_draft(r.id, ["price", "name"])
+    assert done.is_draft is False and done.confidence == 100
+
+    r2 = store.create_from_description("ghost must not be null", "t", ["price"])
+    assert r2 is None  # no known column referenced
+
+    with pytest.raises(ValueError):
+        bad = store.create_from_description("price at least 5", "t", ["price"])
+        store.finish_draft(bad.id, ["other_col"])

@@ -1,0 +1,133 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files dataqualityassistant_spark.zip \
+        -m dataqualityassistant_spark.cli <command> ...
+or locally:
+    python -m dataqualityassistant_spark.cli <command> ...
+
+Commands
+--------
+filter      run the web-text quality-filter pipeline
+            --input PATH --output PATH [--metrics PATH] [--lineage PATH]
+            [--checkpoint PATH] [--run-id ID] [--buckets N] [--waves N]
+validate    run a rule suite from a rules JSON file against a table
+            --input PATH --rules FILE [--table-name NAME] [--report PATH.md|.json]
+profile     profile a table (schema, stats, relationships, suggestions)
+            --input PATH [--suggest]
+gen-pages   write the deterministic synthetic pages fixture
+            --output PATH --rows N [--partitions N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(app: str, cores: str | None = None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app)
+    if cores:  # spark-submit usually supplies the master; local runs may not
+        b = b.master(f"local[{cores}]")
+    b = (b.config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true"))
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dataqualityassistant_spark")
+    ap.add_argument("--cores", default=None, help="local[N] master when not under spark-submit")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("filter")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--metrics")
+    p.add_argument("--lineage")
+    p.add_argument("--checkpoint")
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--run-ts", default="")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--waves", type=int, default=1)
+
+    p = sub.add_parser("validate")
+    p.add_argument("--input", required=True)
+    p.add_argument("--rules", required=True)
+    p.add_argument("--table-name", default="")
+    p.add_argument("--report")
+    p.add_argument("--reference-parity", action="store_true")
+
+    p = sub.add_parser("profile")
+    p.add_argument("--input", required=True)
+    p.add_argument("--suggest", action="store_true")
+
+    p = sub.add_parser("gen-pages")
+    p.add_argument("--output", required=True)
+    p.add_argument("--rows", type=int, required=True)
+    p.add_argument("--partitions", type=int, default=None)
+
+    args = ap.parse_args(argv)
+    spark = _session(f"dqa-{args.cmd}", args.cores)
+
+    from dataqualityassistant_spark.sources import read_table
+
+    if args.cmd == "filter":
+        from dataqualityassistant_spark.plans.quality_filter import QualityFilterPipeline
+
+        pipe = QualityFilterPipeline(n_buckets=args.buckets)
+        stats = pipe.run(
+            spark, read_table(spark, args.input), args.output,
+            metrics_path=args.metrics, lineage_path=args.lineage,
+            checkpoint_path=args.checkpoint, run_id=args.run_id,
+            run_ts=args.run_ts, waves=args.waves,
+        )
+        print(json.dumps({k: v for k, v in stats.items() if k != "metrics"}, default=str))
+
+    elif args.cmd == "validate":
+        from dataqualityassistant_spark.rules import Rule
+        from dataqualityassistant_spark.operators.engine import run_suite
+        from dataqualityassistant_spark import report as report_mod
+
+        with open(args.rules) as f:
+            rule_rows = json.load(f)
+        rules = [Rule(id=r.get("id", i + 1), name=r.get("name", f"rule_{i+1}"),
+                      table_name=r.get("table_name", args.table_name),
+                      rule_config=r.get("rule_config"))
+                 for i, r in enumerate(rule_rows)]
+        suite = run_suite(read_table(spark, args.input), rules,
+                          table_name=args.table_name,
+                          reference_parity=args.reference_parity)
+        if args.report and args.report.endswith(".md"):
+            report_mod.to_markdown(suite, args.report)
+        elif args.report:
+            report_mod.to_json(suite, args.report)
+        print(json.dumps({k: suite[k] for k in
+                          ("table_name", "total_rules", "successful_rules",
+                           "failed_rules", "success_rate")}, default=str))
+
+    elif args.cmd == "profile":
+        from dataqualityassistant_spark.profiling import profile_table, suggest_rules
+
+        df = read_table(spark, args.input)
+        out = profile_table(df)
+        if args.suggest:
+            out["suggestions"] = suggest_rules(df)
+        print(json.dumps(out, default=str)[:20000])
+
+    elif args.cmd == "gen-pages":
+        from dataqualityassistant_spark.fixtures import write_pages_fixture
+
+        write_pages_fixture(spark, args.output, args.rows, partitions=args.partitions)
+        print(json.dumps({"written": args.output, "rows": args.rows}))
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -108,6 +108,13 @@ class QualityFilterPipeline:
     n_buckets: int = 64          # url-hash partition groups (resume granularity)
     domain_salt: int = 16        # salt fan-out for per-domain aggregation
     reference_parity: bool = False
+    # Shuffle rows onto their bucket before the partitioned write. Without
+    # this every task holds an open writer per bucket (fan-out writer):
+    # measured 110s vs 19s at 32 cores on this box, and at cluster scale the
+    # fan-out path means tasks×buckets small files + writer memory. With it,
+    # each write task handles ~one bucket. Size n_buckets so a bucket fits a
+    # task (e.g. rows/bucket ≈ a few hundred MB) at the target scale.
+    shuffle_before_write: bool = True
 
     # ------------------------------------------------------------- scoring
 
@@ -198,6 +205,8 @@ class QualityFilterPipeline:
             for k, (_, _, _, _, mask) in enumerate(metric_masks):
                 aggs.append(F.sum(F.when(mask, 1).otherwise(0)).alias(f"u{k}"))
             observed = scored.observe(obs, *aggs)
+            if self.shuffle_before_write:
+                observed = observed.repartition(len(buckets), F.col("part_bucket"))
 
             (observed.write.mode("overwrite")
              .partitionBy("part_bucket")

@@ -1,0 +1,17 @@
+from dataqualityassistant_spark.sources.tables import (
+    read_table,
+    write_table,
+    table_exists,
+    list_tables,
+    table_schema,
+    ICEBERG_AVAILABLE,
+)
+
+__all__ = [
+    "read_table",
+    "write_table",
+    "table_exists",
+    "list_tables",
+    "table_schema",
+    "ICEBERG_AVAILABLE",
+]

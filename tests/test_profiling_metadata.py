@@ -136,3 +136,34 @@ def test_nl_draft_workflow(tmp_path):
     with pytest.raises(ValueError):
         bad = store.create_from_description("price at least 5", "t", ["price"])
         store.finish_draft(bad.id, ["other_col"])
+
+
+# ---------------------------------------------------------------- sources
+
+def test_sources_table_helpers(spark, tmp_path):
+    from dataqualityassistant_spark.sources import (
+        read_table, write_table, table_exists, table_schema)
+    df = spark.createDataFrame([(1, "a")], "id: long, s: string")
+    p = str(tmp_path / "t")
+    write_table(df, p)
+    assert table_exists(spark, p)
+    assert not table_exists(spark, str(tmp_path / "nope"))
+    back = read_table(spark, p)
+    assert back.count() == 1
+    schema = table_schema(spark, p)
+    assert schema[0]["column_name"] == "id" and schema[0]["data_type"] == "bigint"
+
+
+def test_report_sections_and_markdown(spark):
+    from dataqualityassistant_spark import run_suite, Rule
+    from dataqualityassistant_spark.report import report_sections, to_markdown
+    df = spark.createDataFrame([("a",), (None,)], "c: string")
+    suite = run_suite(df, [Rule(id=1, name="r", rule_config=[
+        {"expectation_type": "expect_column_values_to_not_be_null", "kwargs": {"column": "c"}}])])
+    s = report_sections(suite)
+    assert set(s) == {"overall_summary", "rules_summary", "detailed_results",
+                      "failed_data_samples", "quality_metrics"}
+    assert s["overall_summary"]["failed_rules"] == 1
+    assert s["failed_data_samples"]
+    md = to_markdown(suite)
+    assert "## Rules summary" in md and "expect_column_values_to_not_be_null" in md

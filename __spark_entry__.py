@@ -194,6 +194,41 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q3_like(spark, sf_dir):
+    """Join-heavy shape (customer ⋈ orders ⋈ lineitem): Catalyst broadcasts
+    the small dimensions; revenue top-10 via TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", "revenue")
+    )
+
+
+def q_user_session_stats(spark, sf_dir):
+    """Sessionization via lag + cumulative windows: a new session starts
+    after a >30 min gap; returns per-user session counts."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet TIMESTAMP reads as TIMESTAMP_NTZ, which has no direct long
+    # cast; via timestamp_ltz (UTC session) it matches DuckDB's epoch()
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    with_start = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (
+        with_start.groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"),
+             F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
 def q_topk_events_per_user(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
@@ -304,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "topk_cosine": q_topk_cosine,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3_like": q_tpch_q3_like,
+        "user_session_stats": q_user_session_stats,
         "topk_events_per_user": q_topk_events_per_user,
         "profile_docs": q_profile_docs,
         "events_hourly": q_events_hourly,
@@ -403,6 +440,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= '1996-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_like": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < '1995-03-15'
+              AND l_shipdate > '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "user_session_stats": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts) - epoch(prev_ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM (SELECT user_id, ts, event_id,
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                      FROM events)
+            )
+            GROUP BY user_id
         """,
         "topk_events_per_user": """
             SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,

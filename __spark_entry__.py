@@ -32,7 +32,11 @@ from dataqualityassistant_spark.ops.dedup import (
     simhash_candidate_pairs,
     ngram_jaccard_pairs,
 )
-from dataqualityassistant_spark.ops.similarity import cosine_topk, ann_topk_lsh
+from dataqualityassistant_spark.ops.similarity import (
+    cosine_topk,
+    ann_topk_lsh,
+    embedding_near_dup_pairs,
+)
 from dataqualityassistant_spark.ops.textstats import TOKEN_PATTERN, with_fingerprints
 from dataqualityassistant_spark.functions.scrub import SCRUB_PATTERNS, scrub_text_column
 from dataqualityassistant_spark.functions.langid import langid_udf
@@ -114,6 +118,25 @@ def q_exp_pair_greater(spark, sf_dir):
     return _metric_df(spark, _t(spark, sf_dir, "lineitem"),
                       "expect_column_values_to_be_greater_than_other_column",
                       {"column": "l_extendedprice", "compare_to": "l_quantity"})
+
+
+def q_exp_fk_membership(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "orders"),
+                      "expect_column_values_to_be_in_table_set",
+                      {"column": "o_custkey", "ref_table": f"{sf_dir}/customer.parquet",
+                       "ref_column": "c_custkey"})
+
+
+def q_exp_mean_between(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "lineitem"),
+                      "expect_column_mean_to_be_between",
+                      {"column": "l_quantity", "min_value": 10.0, "max_value": 40.0})
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.5, exhaustive=True)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_suite_documents(spark, sf_dir):
@@ -332,6 +355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_regex_source": q_exp_regex_source,
         "exp_unique_user": q_exp_unique_user,
         "exp_pair_greater": q_exp_pair_greater,
+        "exp_fk_membership": q_exp_fk_membership,
+        "exp_mean_between": q_exp_mean_between,
+        "embedding_near_dups": q_embedding_near_dups,
         "suite_documents": q_suite_documents,
         "word_stats": q_word_stats,
         "token_counts": q_token_counts,
@@ -383,6 +409,20 @@ def oracle_sql() -> dict[str, str]:
         "exp_pair_greater": _metric_sql(
             "lineitem",
             "SUM(CASE WHEN l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_extendedprice <= l_quantity THEN 1 ELSE 0 END)"),
+        "exp_fk_membership": _metric_sql(
+            "orders",
+            "SUM(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END)"),
+        "exp_mean_between": _metric_sql(
+            "lineitem",
+            "CASE WHEN AVG(l_quantity) BETWEEN 10.0 AND 40.0 THEN 0 ELSE COUNT(*) END"),
+        "embedding_near_dups": """
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.5
+        """,
         "suite_documents": f"""
             SELECT 'docs_basic' AS rule_name,
                    'expect_column_values_to_not_be_null' AS expectation_type,

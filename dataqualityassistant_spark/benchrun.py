@@ -63,7 +63,7 @@ def main() -> None:
     # GC variance on a shared box is ±30%).
     t_compute = min(
         _timed(lambda: pipe.score(pages).write.format("noop").mode("overwrite").save())
-        for _ in range(3)
+        for _ in range(2)
     )
 
     # End-to-end: full run() with partitioned output, observe-metrics and

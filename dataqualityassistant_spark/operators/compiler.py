@@ -84,6 +84,10 @@ class CompiledExpectation:
     # sample strategy: 'mask' | 'dups' | None
     samples_kind: str | None = None
     column: str | None = None
+    # agg alias whose value is surfaced as GE-style observed_value
+    observed_value_key: str | None = None
+    # set for join-backed expectations (resolved by the engine, not the agg)
+    ref_table: str | None = None
 
     def agg_exprs(self, prefix: str) -> list[Column]:
         return [expr.alias(f"{prefix}_{name}") for name, expr in self._agg.items()]
@@ -357,6 +361,81 @@ def type_matches(declared: str, spark_simple: str) -> bool:
     base = spark_simple.split("(")[0].lower()
     allowed = TYPE_ALIASES.get(declared, {declared})
     return base in allowed
+
+
+def _agg_stat(expectation_type: str, kwargs: dict[str, Any], stat: Column) -> CompiledExpectation:
+    """Aggregate-level expectation: a table statistic must fall in
+    [min_value, max_value]. Rides the suite's single-pass agg; the result
+    carries GE-style observed_value. unexpected_count is 0/element_count
+    (all-or-nothing), matching the of_type convention."""
+    ce = CompiledExpectation(
+        expectation_type=expectation_type,
+        kwargs=kwargs,
+        mostly=_mostly(kwargs),
+        unexpected_mask=None,
+        column=kwargs.get("column"),
+    )
+    ce._agg = {"n": F.count(F.lit(1)), "stat": stat}
+    lo, hi = kwargs.get("min_value"), kwargs.get("max_value")
+
+    def count(row, p):
+        v = row[f"{p}_stat"]
+        n = row[f"{p}_n"] or 0
+        ok = v is not None and (lo is None or v >= lo) and (hi is None or v <= hi)
+        return 0 if ok or n == 0 else n
+
+    ce._count = count
+    ce.observed_value_key = "stat"
+    return ce
+
+
+@register_expectation("expect_table_row_count_to_be_between")
+def _c_row_count_between(kwargs):
+    return _agg_stat("expect_table_row_count_to_be_between", kwargs, F.count(F.lit(1)))
+
+
+@register_expectation("expect_column_mean_to_be_between")
+def _c_mean_between(kwargs):
+    return _agg_stat("expect_column_mean_to_be_between", kwargs, F.avg(F.col(kwargs["column"])))
+
+
+@register_expectation("expect_column_min_to_be_between")
+def _c_min_between(kwargs):
+    return _agg_stat("expect_column_min_to_be_between", kwargs, F.min(F.col(kwargs["column"])))
+
+
+@register_expectation("expect_column_max_to_be_between")
+def _c_max_between(kwargs):
+    return _agg_stat("expect_column_max_to_be_between", kwargs, F.max(F.col(kwargs["column"])))
+
+
+@register_expectation("expect_column_distinct_count_to_be_between")
+def _c_distinct_between(kwargs):
+    return _agg_stat("expect_column_distinct_count_to_be_between", kwargs,
+                     F.count_distinct(F.col(kwargs["column"])))
+
+
+@register_expectation("expect_column_values_to_be_in_table_set")
+def _c_in_table_set(kwargs):
+    """FK-style membership against another table (the reference documents
+    this as `value_set: {"query": "SELECT id FROM ..."}` —
+    api_documentation.md:401-423 — but never evaluates it). kwargs:
+    column, ref_table (path or catalog name), ref_column. The engine
+    resolves it as a broadcast left-anti join (violations = non-null values
+    absent from the reference column); nulls pass, like in_set."""
+    ce = CompiledExpectation(
+        expectation_type="expect_column_values_to_be_in_table_set",
+        kwargs=kwargs,
+        mostly=_mostly(kwargs),
+        unexpected_mask=None,
+        column=kwargs.get("column"),
+        values_kind=None,
+        samples_kind=None,
+    )
+    ce._agg = {"n": F.count(F.lit(1))}
+    ce._count = lambda row, p: 0  # engine overrides via the anti-join job
+    ce.ref_table = kwargs.get("ref_table")
+    return ce
 
 
 def compile_expectation(expectation_type: str, kwargs: dict[str, Any],

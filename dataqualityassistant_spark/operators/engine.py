@@ -192,8 +192,26 @@ class SuiteEngine:
                 "kwargs": ce.kwargs,
             }
 
+        observed_value = None
         try:
-            if ce.expectation_type == "expect_column_values_to_be_of_type":
+            if ce.ref_table is not None:
+                # FK membership: broadcast left-anti join against the
+                # reference column's distinct values. Small-dim broadcast;
+                # Catalyst falls back to shuffle join past the threshold.
+                from dataqualityassistant_spark.sources.tables import read_table
+
+                ref = read_table(df.sparkSession, ce.ref_table)
+                ref_col = ce.kwargs.get("ref_column", ce.column)
+                orphans = (
+                    df.where(F.col(ce.column).isNotNull())
+                    .join(
+                        F.broadcast(ref.select(F.col(ref_col).alias("__ref")).distinct()),
+                        F.col(ce.column) == F.col("__ref"),
+                        "left_anti",
+                    )
+                )
+                unexpected_count = orphans.count()
+            elif ce.expectation_type == "expect_column_values_to_be_of_type":
                 declared = ce.kwargs.get("type_") or ce.kwargs.get("type", "")
                 actual = schema_types.get(ce.column, "")
                 ok = type_matches(declared, actual)
@@ -218,6 +236,9 @@ class SuiteEngine:
             "unexpected_count": unexpected_count,
             "unexpected_percent": unexpected_percent,
         }
+        if ce.observed_value_key is not None:
+            result["observed_value"] = _serialize_value(
+                agg_row.get(f"{prefix}_{ce.observed_value_key}"))
         sample_rows: list[dict] = []
         if unexpected_count > 0 and self.collect_samples:
             if ce.values_kind == "rows":

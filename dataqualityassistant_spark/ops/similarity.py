@@ -89,6 +89,45 @@ def query_bucket(query, n_planes: int = 12, seed: int = 42, multiprobe: bool = T
     return [base] + [base ^ (1 << i) for i in range(n_planes)]
 
 
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             n_planes: int = 8, seed: int = 42,
+                             exhaustive: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Default path: LSH-bucketed — only same-bucket pairs are candidates
+    (self-join keyed on the hyperplane bucket, never all-pairs), then exact
+    cosine filters. Recall misses pairs split across buckets; lower
+    n_planes or run twice with different seeds for higher recall.
+    ``exhaustive=True`` skips bucketing (exact, O(n²) — validation only).
+    """
+    emb_norm = F.sqrt(
+        F.aggregate(F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda a, x: a + x)
+    )
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col), emb_norm.alias("__norm"))
+    if exhaustive:
+        keyed = base.withColumn("__b", F.lit(0))
+    else:
+        keyed = lsh_bucket_ids(base, vec_col, n_planes, seed=seed, out_col="__b")
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                     F.col("__norm").alias("na"), "__b")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                     F.col("__norm").alias("nb"), "__b")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.when((F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb")))
+    return (
+        a.join(b, "__b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos.cast("double"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ann_topk_lsh(df: DataFrame, query, k: int = 10, vec_col: str = "embedding",
                  id_col: str = "vec_id", n_planes: int = 12, seed: int = 42) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket (+hamming-1 ring),

@@ -294,3 +294,40 @@ def test_missing_column_errors_one_expectation_not_suite(spark):
     assert suite["results"][0]["success"] is False
     assert "not found" in suite["results"][0]["results"][0]["error"]
     assert suite["results"][1]["success"] is True
+
+
+# ------------------------------------------------------- aggregate expectations
+
+def test_row_count_between(spark):
+    df = mk_df(spark, [(1,), (2,), (3,)], "v: int")
+    r = single(df, "expect_table_row_count_to_be_between", {"min_value": 2, "max_value": 5})
+    assert r["success"] is True and r["result"]["observed_value"] == 3
+    r = single(df, "expect_table_row_count_to_be_between", {"min_value": 10})
+    assert r["success"] is False
+    assert r["result"]["unexpected_count"] == 3  # all-or-nothing
+
+
+def test_column_mean_between(spark):
+    df = mk_df(spark, [(2.0,), (4.0,), (None,)], "v: double")
+    r = single(df, "expect_column_mean_to_be_between", {"column": "v", "min_value": 2.5, "max_value": 3.5})
+    assert r["success"] is True and r["result"]["observed_value"] == 3.0
+
+
+def test_column_min_max_distinct_between(spark):
+    df = mk_df(spark, [(1,), (5,), (5,), (9,)], "v: int")
+    assert single(df, "expect_column_min_to_be_between", {"column": "v", "min_value": 0, "max_value": 2})["success"]
+    assert single(df, "expect_column_max_to_be_between", {"column": "v", "max_value": 9})["success"]
+    r = single(df, "expect_column_distinct_count_to_be_between", {"column": "v", "min_value": 3, "max_value": 3})
+    assert r["success"] is True and r["result"]["observed_value"] == 3
+
+
+def test_in_table_set_fk(spark, tmp_path):
+    ref = mk_df(spark, [(1,), (2,)], "id: int")
+    p = str(tmp_path / "ref")
+    ref.write.parquet(p)
+    df = mk_df(spark, [(1,), (2,), (3,), (None,)], "fk: int")
+    r = single(df, "expect_column_values_to_be_in_table_set",
+               {"column": "fk", "ref_table": p, "ref_column": "id"})
+    assert r["result"]["unexpected_count"] == 1  # 3 is orphan; null passes
+    assert r["result"]["element_count"] == 4
+    assert r["success"] is False

@@ -13,7 +13,7 @@ from dataqualityassistant_spark.ops.dedup import (
     simhash_candidate_pairs,
     ngram_jaccard_pairs,
 )
-from dataqualityassistant_spark.ops.similarity import cosine_topk, ann_topk_lsh, lsh_bucket_ids
+from dataqualityassistant_spark.ops.similarity import cosine_topk, ann_topk_lsh, lsh_bucket_ids, embedding_near_dup_pairs
 from dataqualityassistant_spark.ops.textstats import with_token_count, fingerprint_udf, with_fingerprints
 from dataqualityassistant_spark.ops.multimodal import decode_images, sample_video_frames, synthetic_media_df
 
@@ -133,3 +133,20 @@ def test_multimodal_payload_pruned(spark, tmp_path):
     read_schema = [l.split("ReadSchema:")[1] for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "payload" not in read_schema[0]
     assert "n_bytes" in read_schema[0]
+
+
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((60, 8)).astype("float32")
+    vecs[10] = vecs[4] * 1.5                      # exact direction dup
+    vecs[20] = vecs[4] + rng.standard_normal(8).astype("float32") * 0.01  # near dup
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    exact = embedding_near_dup_pairs(df, threshold=0.99, exhaustive=True).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(exact["id_a"], exact["id_b"])}
+    assert (4, 10) in got and (4, 20) in got
+    # LSH path finds the exact-direction pair (same bucket by construction)
+    lsh = embedding_near_dup_pairs(df, threshold=0.99, n_planes=6).toPandas()
+    got_lsh = {tuple(sorted((a, b))) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    assert (4, 10) in got_lsh
+    assert got_lsh <= got  # no false positives vs exhaustive

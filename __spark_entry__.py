@@ -307,14 +307,17 @@ def q_ngram_jaccard_dups(spark, sf_dir):
 def q_minhash_dup_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("text").isNotNull())
     shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    sigs = minhash_signatures(docs.unionByName(shifted), n_hashes=64, shingle=9)
+    # single-file input = 1-2 splits; spread signature computation across cores
+    both = docs.unionByName(shifted).repartition(spark.sparkContext.defaultParallelism)
+    sigs = minhash_signatures(both, n_hashes=64, shingle=9)
     return minhash_candidate_pairs(sigs, bands=16, threshold=0.9)
 
 
 def q_simhash_dup_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("text").isNotNull())
     shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    return simhash_candidate_pairs(simhash(docs.unionByName(shifted)), max_hamming=2)
+    both = docs.unionByName(shifted).repartition(spark.sparkContext.defaultParallelism)
+    return simhash_candidate_pairs(simhash(both), max_hamming=2)
 
 
 def q_langid_docs(spark, sf_dir):

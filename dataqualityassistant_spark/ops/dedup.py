@@ -19,6 +19,8 @@ hashing numpy-side) — no Python ``hash()`` (salted per process) anywhere.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -58,22 +60,36 @@ def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Deterministic 64-bit hashes of the k-char shingles (zlib.crc32 over
-    two offsets → 64 bits; stable across processes, unlike hash())."""
-    import zlib
+_FNV_PRIME = np.uint64(1099511628211)
+_MIX = np.uint64(0xFF51AFD7ED558CCD)
 
+
+@lru_cache(maxsize=8)
+def _shingle_coefs(k: int) -> np.ndarray:
+    """[prime^(k-1), ..., prime^1, prime^0] mod 2^64 — polynomial rolling-hash
+    coefficients (deterministic, process-independent)."""
+    out = np.empty(k, dtype=np.uint64)
+    acc = np.uint64(1)
+    for i in range(k - 1, -1, -1):
+        out[i] = acc
+        acc = acc * _FNV_PRIME  # wraps mod 2^64
+    return out
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Deterministic 63-bit polynomial hashes of all k-byte shingles,
+    fully vectorized: one sliding-window view + one matmul per document
+    (the per-shingle Python loop was the MinHash stage's bottleneck)."""
     if text is None or len(text) < k:
         return np.empty(0, dtype=np.int64)
-    data = text.encode("utf-8", "ignore")
-    n = max(len(data) - k + 1, 1)
-    out = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        chunk = data[i : i + k]
-        # 63-bit combined hash (crc of chunk + crc of reversed chunk); masked
-        # so it always fits a signed int64
-        out[i] = ((zlib.crc32(chunk) << 32) | zlib.crc32(chunk[::-1])) & 0x7FFFFFFFFFFFFFFF
-    return np.unique(out)
+    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if data.size < k:
+        return np.empty(0, dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (windows * _shingle_coefs(k)[None, :]).sum(axis=1, dtype=np.uint64)
+        h = (h ^ (h >> np.uint64(33))) * _MIX  # avalanche final mix
+    return np.unique((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -127,13 +143,22 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             F.xxhash64(F.slice("signature", F.col("band") * F.col("rpb") + 1, F.col("rpb"))).alias("bh"),
         )
     )
-    left = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bh")
-    right = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bh")
-    pairs = (
+    # Candidate pairs dedupe on (id_a, id_b) ONLY — a distinct over the full
+    # signature arrays would shuffle ~1 KB per row instead of 16 bytes.
+    # Signatures re-attach afterwards via two joins against the (small
+    # relative to the exploded band table) signature relation.
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (
         left.join(right, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    sigs = signatures.where(F.col("signature").isNotNull())
+    pairs = (
+        cand.join(sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")), "id_b")
     )
     agreement = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     est = agreement / F.size("sig_a")

@@ -193,6 +193,26 @@ def suggest_rules(df: DataFrame, table_name: str = "") -> list[dict[str, Any]]:
     return suggestions
 
 
+def group_suggestions(suggestions: list[dict[str, Any]]) -> dict[str, list[dict[str, Any]]]:
+    """Group suggested rules by their column key, mirroring the reference's
+    generate-rules grouping (app/main.py:283-299): ``single:{col}`` for
+    one-column expectations, ``pair:{a}:{b}`` for pair expectations,
+    ``other:{expectation_type}`` for the rest — used to merge multiple
+    suggestions for the same target before persistence."""
+    groups: dict[str, list[dict[str, Any]]] = {}
+    for s in suggestions:
+        for exp in s.get("rule_config", []):
+            kw = exp.get("kwargs", {})
+            if kw.get("column_A") and kw.get("column_B"):
+                key = f"pair:{kw['column_A']}:{kw['column_B']}"
+            elif kw.get("column"):
+                key = f"single:{kw['column']}"
+            else:
+                key = f"other:{exp.get('expectation_type')}"
+            groups.setdefault(key, []).append(s)
+    return groups
+
+
 # ------------------------------------------------------ NL description parser
 
 def rule_from_description(description: str, columns: list[str]) -> dict[str, Any] | None:

@@ -1,0 +1,52 @@
+"""Canonical SparkSession factory with the engine's tuning defaults.
+
+Centralizes the configs that matter for this workload so library users,
+the CLI, tests and bench all agree:
+
+- AQE on (runtime coalescing + skew-join splitting — the host-domain power
+  law makes stragglers otherwise);
+- Arrow enabled with a bounded batch size (the fused scoring UDF streams
+  10k-row batches; bigger batches help amortize, smaller bound worker
+  memory on 100 MB documents);
+- shuffle partitions sized to the parallelism at hand, not the 200 default
+  (local) — on a cluster pass ``shuffle_partitions≈2-3× total cores``;
+- 128 MB file split target so 100 TB of parquet yields ~800k well-sized
+  input tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def tuned_session(
+    app: str = "dataqualityassistant-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    if driver_memory:
+        b = b.config("spark.driver.memory", driver_memory)
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    }
+    if shuffle_partitions:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -167,3 +167,24 @@ def test_report_sections_and_markdown(spark):
     assert s["failed_data_samples"]
     md = to_markdown(suite)
     assert "## Rules summary" in md and "expect_column_values_to_not_be_null" in md
+
+
+def test_group_suggestions_keys():
+    from dataqualityassistant_spark.profiling import group_suggestions
+    sugg = [
+        {"rule_name": "a", "rule_config": [
+            {"expectation_type": "expect_column_values_to_not_be_null", "kwargs": {"column": "x"}}]},
+        {"rule_name": "b", "rule_config": [
+            {"expectation_type": "expect_column_pair_values_to_be_equal",
+             "kwargs": {"column_A": "x", "column_B": "y"}}]},
+        {"rule_name": "c", "rule_config": [
+            {"expectation_type": "expect_table_row_count_to_be_between", "kwargs": {"min_value": 1}}]},
+    ]
+    g = group_suggestions(sugg)
+    assert set(g) == {"single:x", "pair:x:y", "other:expect_table_row_count_to_be_between"}
+
+
+def test_tuned_session_reuses_active(spark):
+    from dataqualityassistant_spark.session import tuned_session
+    s = tuned_session()  # getOrCreate returns the active test session
+    assert s is spark

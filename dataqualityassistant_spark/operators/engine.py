@@ -133,12 +133,7 @@ class SuiteEngine:
                         ce.unexpected_mask = None
 
         # --- the single-pass aggregate ---
-        agg_cols: list[Column] = [F.count(F.lit(1)).alias("__element_count")]
-        for i, (_, ces) in enumerate(compiled):
-            for j, ce in enumerate(ces):
-                if ce.error is None:
-                    agg_cols.extend(ce.agg_exprs(f"r{i}e{j}"))
-        agg_row = df.agg(*agg_cols).collect()[0].asDict()
+        agg_row = self.agg_frame(df, compiled).collect()[0].asDict()
         element_count = int(agg_row["__element_count"])
 
         results = []
@@ -178,6 +173,18 @@ class SuiteEngine:
             "success_rate": (successful / total_rules * 100) if total_rules > 0 else 0,
             "results": results,
         }
+
+    def agg_frame(self, df: DataFrame, compiled) -> DataFrame:
+        """The fused single-scan aggregate for a compiled suite: one
+        conditional aggregate per expectation, one ``count(*)``, one job.
+        Exposed for plan-shape tests (the whole point of the engine is that
+        N expectations never cost N scans)."""
+        agg_cols: list[Column] = [F.count(F.lit(1)).alias("__element_count")]
+        for i, (_, ces) in enumerate(compiled):
+            for j, ce in enumerate(ces):
+                if ce.error is None:
+                    agg_cols.extend(ce.agg_exprs(f"r{i}e{j}"))
+        return df.agg(*agg_cols)
 
     # -- per-expectation finalization --------------------------------------
 

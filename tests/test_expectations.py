@@ -331,3 +331,39 @@ def test_in_table_set_fk(spark, tmp_path):
     assert r["result"]["unexpected_count"] == 1  # 3 is orphan; null passes
     assert r["result"]["element_count"] == 4
     assert r["success"] is False
+
+
+def test_reference_create_rule_scenario(spark):
+    """The reference's only manual test fixture (create_rule.py:62-88): two
+    intentionally-failing rules against `authors` — in_set on name with
+    ["John Smith", "Jane Doe"] and regex `^.+@.+\\..+$` on email, both
+    mostly 1.0 — run to eyeball failing-sample output. Reproduced here with
+    the seed rows (seed_data.py:62-68) plus violations."""
+    authors = mk_df(spark, [
+        (1, "John Smith", "john.smith@email.com"),
+        (2, "Jane Doe", "jane.doe@email.com"),
+        (3, "Robert Johnson", "robert.j@email.com"),   # fails in_set
+        (4, "Emily Williams", "emily.w@email.com"),    # fails in_set
+        (5, "Michael Brown", "not-an-email"),          # fails both
+    ], "author_id: int, name: string, email: string")
+    rules = [
+        Rule(id=1, name="name_in_set", rule_config=[
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "name", "value_set": ["John Smith", "Jane Doe"], "mostly": 1.0}}]),
+        Rule(id=2, name="email_format", rule_config=[
+            {"expectation_type": "expect_column_values_to_match_regex",
+             "kwargs": {"column": "email", "regex": r"^.+@.+\..+$", "mostly": 1.0}}]),
+    ]
+    suite = run_suite(authors, rules, table_name="authors")
+    in_set = suite["results"][0]["results"][0]
+    assert in_set["success"] is False
+    assert in_set["result"]["unexpected_count"] == 3
+    assert sorted(in_set["result"]["unexpected_values"]) == [
+        "Emily Williams", "Michael Brown", "Robert Johnson"]
+    assert len(in_set["sample_rows"]) == 3  # complete rows, ≤5
+    assert {"author_id", "name", "email"} <= set(in_set["sample_rows"][0])
+    regex = suite["results"][1]["results"][0]
+    assert regex["success"] is False
+    assert regex["result"]["unexpected_count"] == 1
+    assert regex["result"]["unexpected_values"] == ["not-an-email"]
+    assert suite["success_rate"] == 0.0

@@ -1,0 +1,109 @@
+"""Plan-shape regression tests: the physical plans that make this engine
+hold up at 100 TB. If one of these starts failing after a refactor, the
+change probably reintroduced a scan, a shuffle, or a pruning regression."""
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualityassistant_spark import Rule
+from dataqualityassistant_spark.operators.engine import SuiteEngine
+from dataqualityassistant_spark.plans.quality_filter import QualityFilterPipeline
+from dataqualityassistant_spark.fixtures import pages_batch, PAGES_SCHEMA
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def tree_of(df) -> str:
+    """Just the operator tree (formatted explain repeats nodes in the
+    detail section, which would double every count)."""
+    return plan_of(df).split("\n\n")[0]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_suite_agg_is_one_scan_one_aggregate(spark, docs):
+    rules = [
+        Rule(id=1, name="a", rule_config=[
+            {"expectation_type": "expect_column_values_to_not_be_null", "kwargs": {"column": "text"}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "lang", "value_set": ["en"]}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "n_chars", "min_value": 1, "max_value": 10**6}},
+            {"expectation_type": "expect_column_values_to_match_regex",
+             "kwargs": {"column": "source", "regex": "src"}},
+        ]),
+    ]
+    eng = SuiteEngine()
+    frame = eng.agg_frame(docs, eng.compile_rules(rules))
+    tree = tree_of(frame)
+    assert tree.count("Scan parquet") == 1  # four expectations, ONE scan
+    # partial + final hash aggregate, nothing else between scan and result
+    assert tree.count("HashAggregate") == 2
+    # scan pruned to exactly the referenced columns
+    read = [l for l in plan_of(frame).splitlines() if "ReadSchema" in l][0]
+    for col in ("text", "lang", "n_chars", "source"):
+        assert col in read
+    assert "doc_id" not in read
+
+
+def test_suite_agg_with_uniqueness_stays_one_scan(spark, docs):
+    rules = [Rule(id=1, name="u", rule_config=[
+        {"expectation_type": "expect_column_values_to_be_unique", "kwargs": {"column": "doc_id"}},
+        {"expectation_type": "expect_column_values_to_not_be_null", "kwargs": {"column": "text"}},
+    ])]
+    eng = SuiteEngine()
+    tree = tree_of(eng.agg_frame(docs, eng.compile_rules(rules)))
+    assert tree.count("Scan parquet") == 1  # count_distinct rides the same scan
+
+
+def test_pipeline_score_has_no_shuffle_and_prunes_html(spark):
+    pdf = pages_batch(0, 50)
+    # write/read parquet so scan pruning is observable
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf, PAGES_SCHEMA).write.mode("overwrite").parquet(f"{d}/p")
+    pages = spark.read.parquet(f"{d}/p")
+    plan = plan_of(QualityFilterPipeline().score(pages))
+    assert "Exchange" not in plan  # scan → project → UDF stage: NO shuffle
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" not in read  # binary payload never read
+
+
+def test_topk_uses_take_ordered(spark):
+    from dataqualityassistant_spark.ops.similarity import cosine_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.first()["embedding"]
+    plan = plan_of(cosine_topk(emb, q, k=10))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+def test_fk_orphans_broadcasts_dimension(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orphans = orders.join(F.broadcast(cust.select("c_custkey")),
+                          orders.o_custkey == cust.c_custkey, "left_anti")
+    plan = plan_of(orphans)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_stats_is_two_phase(spark):
+    pages = QualityFilterPipeline().score(
+        spark.createDataFrame(pages_batch(0, 50), PAGES_SCHEMA))
+    tree = tree_of(QualityFilterPipeline().domain_stats(pages))
+    # salted partial agg then final agg: two exchanges (salted key, domain)
+    assert tree.count("Exchange") >= 2
+    assert tree.count("HashAggregate") >= 4

@@ -68,14 +68,20 @@ def classify_text(text: str | None) -> tuple[str, float]:
     the Spark UDF and the pandas oracle so labels agree exactly."""
     if text is None or len(text) < MIN_CHARS:
         return UNKNOWN, 0.0
-    grams = list(_trigrams(text[:2000]))  # cap work per doc; 2k chars is ample
-    if not grams:
+    counts = Counter(_trigrams(text[:2000]))  # cap work per doc; 2k chars is ample
+    n = sum(counts.values())
+    if n == 0:
         return UNKNOWN, 0.0
     profiles = _profiles()
     scores = {}
+    # iterate UNIQUE grams weighted by count (~2-3x fewer table lookups than
+    # scoring every occurrence; identical result)
     for lang, table in profiles.items():
         oov = table["__oov__"]
-        scores[lang] = sum(table.get(g, oov) for g in grams) / len(grams)
+        total = 0.0
+        for g, c in counts.items():
+            total += c * table.get(g, oov)
+        scores[lang] = total / n
     best = max(sorted(scores), key=lambda k: scores[k])
     ranked = sorted(scores.values(), reverse=True)
     margin = ranked[0] - ranked[1] if len(ranked) > 1 else 0.0

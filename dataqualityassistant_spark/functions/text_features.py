@@ -30,6 +30,7 @@ from pyspark.sql.functions import pandas_udf
 from dataqualityassistant_spark.functions.corpus import EN_STOPWORDS
 
 _STOPWORDS = sorted(EN_STOPWORDS)
+_NORM_RE = re.compile(r"(^[^a-z]+)|([^a-z]+$)")
 
 # Order matters for docs: these are the columns with_text_features adds.
 FEATURE_COLUMNS = [
@@ -123,9 +124,12 @@ def repetition_features(text: str | None) -> tuple[float, float, float]:
         if len(words) < n:
             return 0.0
         grams = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
-        gram, cnt = max(sorted(grams.items()), key=lambda kv: kv[1])
+        # deterministic: ties break to the lexicographically smallest gram
+        # (only affects which equal-count gram's char length is used)
+        cnt = max(grams.values())
         if cnt < 2:
             return 0.0
+        gram = min(g for g, c in grams.items() if c == cnt)
         return cnt * sum(len(w) for w in gram) / total_chars
 
     def dup_ngram_char_frac(n: int) -> float:
@@ -205,8 +209,8 @@ def _pandas_features_one(text: str | None) -> dict:
     if wc > 0:
         total_wchars = sum(len(w) for w in words)
         out["mean_word_length"] = total_wchars / wc
-        norm = [re.sub(r"(^[^a-z]+)|([^a-z]+$)", "", w.lower()) for w in words]
-        out["stopword_ratio"] = sum(1 for w in norm if w in EN_STOPWORDS) / wc
+        sub = _NORM_RE.sub
+        out["stopword_ratio"] = sum(1 for w in words if sub("", w.lower()) in EN_STOPWORDS) / wc
         n_symbols = text.count("#") + len(re.findall(r"\.\.\.", text)) + text.count("…")
         out["symbol_word_ratio"] = n_symbols / wc
         out["alpha_word_ratio"] = sum(1 for w in words if re.search("[A-Za-z]", w)) / wc

@@ -190,3 +190,27 @@ def test_domain_stats_salted(spark):
     assert all(0 <= r["keep_rate"] <= 1 for r in rows)
     # zipf skew: top domain should carry >10% of rows
     assert max(r["rows"] for r in rows) > 30
+
+
+def test_scrub_byte_parity_on_adversarial_corpus(spark):
+    """JVM regexp_replace chain vs Python re on adversarial strings: regex
+    metacharacters, unicode, newlines, partial PII shapes, replacement-token
+    lookalikes. Byte-identical is the north-rule invariant."""
+    import random
+    rng = random.Random(99)
+    atoms = [
+        "a@b.co", "x@y", "@", "user.name+tag@sub.domain.org", "1.2.3.4",
+        "999.999.999.999", "123-45-6789", "123-456-789", "4111 1111 1111 1111",
+        "+1 212-555-0000", "555-0000", "(212) 555 0000", "frakking", "FRAKKING",
+        "belgium!", "xbelgium", "[EMAIL]", "$1", "\\1", "…", "naïve café",
+        "line\nbreak", "tab\there", "a" * 50, "12345678901234567", "#", "...",
+        "e@e.ee e@e.ee", "dots...", "中文文本", "", " ",
+    ]
+    texts = [" ".join(rng.choice(atoms) for _ in range(rng.randint(1, 12)))
+             for _ in range(300)] + [None]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i: long, text: string")
+    got = (sdf.select("i", scrub_text_column("text").alias("s"))
+           .orderBy("i").toPandas()["s"].tolist())
+    want = [scrub_text_python(t) for t in texts]
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"row {i}: {texts[i]!r}\n jvm={g!r}\n  py={w!r}"

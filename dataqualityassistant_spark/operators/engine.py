@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dataqualityassistant_spark.rules import Rule, normalize_rule_config
+from dataqualityassistant_spark.rules import Rule
 from dataqualityassistant_spark.operators.compiler import (
     CompiledExpectation,
     compile_expectation,

@@ -214,3 +214,32 @@ def test_scrub_byte_parity_on_adversarial_corpus(spark):
     want = [scrub_text_python(t) for t in texts]
     for i, (g, w) in enumerate(zip(got, want)):
         assert g == w, f"row {i}: {texts[i]!r}\n jvm={g!r}\n  py={w!r}"
+
+
+def test_pipeline_observe_metrics_equal_engine_metrics(spark, tmp_path):
+    """The observe()-collected per-wave metrics summed across waves must
+    equal a SuiteEngine pass over the same scored frame — the two metric
+    paths (streaming-during-write vs dedicated aggregate) may never drift."""
+    from dataqualityassistant_spark.operators.engine import SuiteEngine
+
+    pages = pages_spark_df(spark, 300, partitions=4)
+    pipe = QualityFilterPipeline(n_buckets=4)
+    stats = pipe.run(spark, pages, str(tmp_path / "out"), run_id="m", waves=2)
+
+    by_key = {}
+    for m in stats["metrics"]:
+        k = (m["rule_name"], m["expectation_type"], m["column"])
+        agg = by_key.setdefault(k, {"unexpected": 0, "element": 0})
+        agg["unexpected"] += m["unexpected_count"]
+        agg["element"] += m["element_count"]
+
+    suite = SuiteEngine(collect_samples=False).execute(
+        pipe.score(pages), pipe.rules)
+    for rr in suite["results"]:
+        for er in rr["results"]:
+            if "result" not in er or er["kwargs"].get("column") is None:
+                continue
+            k = (rr["rule_name"], er["expectation_type"], er["kwargs"]["column"])
+            if k in by_key:
+                assert by_key[k]["unexpected"] == er["result"]["unexpected_count"], k
+                assert by_key[k]["element"] == er["result"]["element_count"], k

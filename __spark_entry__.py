@@ -239,9 +239,11 @@ def q_user_session_stats(spark, sf_dir):
     after a >30 min gap; returns per-user session counts."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet TIMESTAMP reads as TIMESTAMP_NTZ, which has no direct long
-    # cast; via timestamp_ltz (UTC session) it matches DuckDB's epoch()
-    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    # parquet TIMESTAMP reads as TIMESTAMP_NTZ, which has no direct numeric
+    # cast; via timestamp_ltz (UTC session) then DOUBLE it matches DuckDB's
+    # fractional epoch() — a long cast would floor to whole seconds and flip
+    # session verdicts for gaps within 1s of the 1800s boundary
+    secs = F.col("ts").cast("timestamp_ltz").cast("double")
     gap = secs - F.lag(secs).over(w)
     with_start = ev.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))

@@ -70,7 +70,12 @@ def text_scores_udf(texts: pd.Series) -> pd.DataFrame:
         feats["log_ppl"] = log_perplexity(t)
         rows.append(feats)
     out = pd.DataFrame(rows, columns=SCORE_FIELDS, index=texts.index)
-    return out
+    # NaN (e.g. log_ppl of an empty text) must reach Spark as NULL, not NaN:
+    # Spark treats NaN as an ordinary largest-double (NaN > x is TRUE), so a
+    # NaN leaking into a `between` mask counts as a violation while the
+    # pandas oracle (notnull(NaN) = False) passes it. Object-dtype columns
+    # make Arrow transmit both None and NaN as null.
+    return out.astype(object).where(pd.notna(out), None)
 
 
 def with_text_scores(df: DataFrame, text_col: str = "text") -> DataFrame:

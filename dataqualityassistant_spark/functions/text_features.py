@@ -59,7 +59,11 @@ def _norm_word(w: Column) -> Column:
 
 def text_feature_exprs(text_col: str = "text") -> dict[str, Column]:
     t = F.col(text_col)
-    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    # (?U) = Java UNICODE_CHARACTER_CLASS so \s matches the same whitespace
+    # set as Python's re (e.g.   non-breaking space, ubiquitous in
+    # HTML-extracted text) — without it the JVM exprs and the pandas mirror
+    # tokenize unicode text differently
+    words = F.filter(F.split(t, r"(?U)\s+"), lambda w: w != F.lit(""))
     wc = F.size(words)
     lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != F.lit(""))
     nl = F.size(lines)

@@ -133,7 +133,23 @@ class SuiteEngine:
                         ce.unexpected_mask = None
 
         # --- the single-pass aggregate ---
-        agg_row = self.agg_frame(df, compiled).collect()[0].asDict()
+        try:
+            agg_row = self.agg_frame(df, compiled).collect()[0].asDict()
+        except Exception:
+            # One malformed expectation (e.g. an invalid regex that only the
+            # JVM rejects) must not poison the fused job for every other
+            # rule (reference isolates per expectation, :422-430). Fall back
+            # to per-expectation aggregates, erroring only the bad ones.
+            agg_row = df.agg(F.count(F.lit(1)).alias("__element_count")).collect()[0].asDict()
+            for i, (_, ces) in enumerate(compiled):
+                for j, ce in enumerate(ces):
+                    if ce.error is None and ce._agg:
+                        try:
+                            agg_row.update(
+                                df.agg(*ce.agg_exprs(f"r{i}e{j}")).collect()[0].asDict())
+                        except Exception as e:
+                            ce.error = str(e)
+                            ce.unexpected_mask = None
         element_count = int(agg_row["__element_count"])
 
         results = []

@@ -126,6 +126,11 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     (band, hash) so only colliding docs meet. Giant buckets (boilerplate
     shingles) are handled upstream by salting or by capping bucket size.
     """
+    first = signatures.select(F.size("signature").alias("n")).where(F.col("n") > 0).first()
+    if first is not None and first["n"] < bands:
+        # rows_per_band would floor to 0 → every band hashes an empty slice
+        # → all docs share one bucket → the join degenerates to all-pairs
+        raise ValueError(f"bands ({bands}) must be <= signature length ({first['n']})")
     n_hashes_col = F.size("signature")
     rows_per_band = F.floor(n_hashes_col / bands).cast("int")
     banded = (
@@ -244,7 +249,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.xxhash64(F.concat_ws("", F.slice(words, i + 1, n))),
+                # single-space separator: words contain no whitespace (split
+                # on \\s+) so shingles cannot collide across word boundaries
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))),
             )
         ),
     )

@@ -66,8 +66,31 @@ def _fake_decode(payload: bytes, n_features: int = 16) -> tuple[int, int, list[f
     return int(width), int(height), feats.tolist()
 
 
+def _pil_decode(payload: bytes, n_features: int) -> tuple[int, int, list[float]] | None:
+    """Real decode: dimensions from the image header, features = a 4×4
+    grayscale thumbnail (n_features=16) normalized to [0,1]. Returns None
+    for undecodable payloads."""
+    import io as _io
+
+    from PIL import Image
+
+    try:
+        img = Image.open(_io.BytesIO(payload))
+        w, h = img.size
+        side = max(int(n_features ** 0.5), 1)
+        thumb = np.asarray(img.convert("L").resize((side, side)), dtype=np.float32) / 255.0
+        return int(w), int(h), thumb.reshape(-1)[:n_features].tolist()
+    except Exception:
+        return None
+
+
 def decode_images(df: DataFrame, n_features: int = 16, allow_fake: bool = True) -> DataFrame:
     """media table → (media_id, width, height, features) via mapInPandas.
+
+    Uses a real PIL decode when the library is importable; otherwise the
+    clearly-marked deterministic fake (this container has no imaging libs),
+    unless ``allow_fake=False`` in which case it refuses rather than return
+    fabricated features.
 
     Column pruning happens HERE, not in Catalyst: the iterator receives only
     (media_id, payload) because we select them explicitly first — a binary
@@ -78,6 +101,7 @@ def decode_images(df: DataFrame, n_features: int = 16, allow_fake: bool = True) 
             "real image decode requires an imaging library (PIL) not present "
             "in this environment; pass allow_fake=True for the deterministic stub"
         )
+    use_pil = _HAS_PIL
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -86,8 +110,13 @@ def decode_images(df: DataFrame, n_features: int = 16, allow_fake: bool = True) 
                 if payload is None:
                     rows.append((mid, None, None, None))
                     continue
-                w, h, f = _fake_decode(bytes(payload), n_features)
-                rows.append((mid, w, h, f))
+                decoded = _pil_decode(bytes(payload), n_features) if use_pil else None
+                if decoded is None:
+                    if use_pil and not allow_fake:
+                        rows.append((mid, None, None, None))  # undecodable, no fake
+                        continue
+                    decoded = _fake_decode(bytes(payload), n_features)
+                rows.append((mid, *decoded))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "features"])
 
     return df.select("media_id", "payload").mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)

@@ -60,7 +60,10 @@ def lsh_bucket_ids(df: DataFrame, vec_col: str = "embedding", n_planes: int = 12
     matmul per Arrow batch; planes are rebuilt deterministically per worker
     from the seed (no broadcast needed for metadata-sized planes)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if probe is None:
+            raise ValueError(f"cannot infer embedding dim: no non-null '{vec_col}' rows")
+        dim = len(probe[0])
 
     @pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:

@@ -78,15 +78,19 @@ def column_statistics(df: DataFrame) -> dict[str, dict[str, Any]]:
 
 
 def profile_table(df: DataFrame, sample_rows: int = 100) -> dict[str, Any]:
+    sample = random_sample(df, sample_rows)
     return {
         "columns": [
             {"column_name": f.name, "data_type": f.dataType.simpleString(),
              "is_nullable": f.nullable}
             for f in df.schema.fields
         ],
-        "sample_data": random_sample(df, sample_rows),
+        "sample_data": sample,
         "statistics": column_statistics(df),
-        "relationships": infer_relationships(df),
+        # reuse the collected sample — random_sample is a full sort, no
+        # reason to pay it twice (and relationships should be inferred from
+        # the same rows the profile reports)
+        "relationships": infer_relationships(df, sample=sample),
     }
 
 

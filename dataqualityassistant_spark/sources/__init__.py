@@ -4,7 +4,7 @@ from dataqualityassistant_spark.sources.tables import (
     table_exists,
     list_tables,
     table_schema,
-    ICEBERG_AVAILABLE,
+    iceberg_available,
 )
 
 __all__ = [
@@ -13,5 +13,5 @@ __all__ = [
     "table_exists",
     "list_tables",
     "table_schema",
-    "ICEBERG_AVAILABLE",
+    "iceberg_available",
 ]

@@ -15,12 +15,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-try:  # connector jar present?
-    import importlib.util
-
-    ICEBERG_AVAILABLE = False  # resolved lazily per session below
-except Exception:  # pragma: no cover
-    ICEBERG_AVAILABLE = False
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the session's JVM ships the Iceberg Spark connector."""
+    return _session_has_iceberg(spark)
 
 
 def _session_has_iceberg(spark: SparkSession) -> bool:

@@ -367,3 +367,21 @@ def test_reference_create_rule_scenario(spark):
     assert regex["result"]["unexpected_count"] == 1
     assert regex["result"]["unexpected_values"] == ["not-an-email"]
     assert suite["success_rate"] == 0.0
+
+
+def test_invalid_regex_errors_only_that_expectation(spark):
+    # JVM-only failure (the JVM rejects '(' at run time inside the fused
+    # agg) must not poison the other rules
+    df = mk_df(spark, [("a", 1)], "s: string, v: int")
+    rules = [
+        Rule(id=1, name="bad_rx", rule_config=[
+            {"expectation_type": "expect_column_values_to_match_regex",
+             "kwargs": {"column": "s", "regex": "("}}]),
+        Rule(id=2, name="good", rule_config=[
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "v"}}]),
+    ]
+    suite = run_suite(df, rules)
+    assert suite["results"][0]["success"] is False
+    assert suite["results"][0]["results"][0].get("error")
+    assert suite["results"][1]["success"] is True

@@ -243,3 +243,28 @@ def test_pipeline_observe_metrics_equal_engine_metrics(spark, tmp_path):
             if k in by_key:
                 assert by_key[k]["unexpected"] == er["result"]["unexpected_count"], k
                 assert by_key[k]["element"] == er["result"]["element_count"], k
+
+
+def test_jvm_features_match_mirror_on_unicode_whitespace(spark):
+    # non-breaking space / thin space: JVM (?U)\\s must tokenize like Python \\s
+    texts = ["foo\u00a0bar\u2009baz", "a\u00a0b", "tab\there", "nl\u0085end", None]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i: long, text: string")
+    got = with_text_features(sdf).orderBy("i").toPandas()
+    want = pandas_text_features(pd.Series(texts))
+    for col in ("word_count", "mean_word_length", "alpha_word_ratio"):
+        g, w = got[col].astype(float), want[col].astype(float)
+        assert ((g.isna() & w.isna()) | (g == w)).all(), (col, g.tolist(), w.tolist())
+
+
+def test_pipeline_empty_text_scores_are_null_not_nan(spark):
+    # NaN from the scoring UDF must arrive as NULL so `between` masks treat
+    # it like the pandas oracle (NaN passes value checks)
+    sdf = spark.createDataFrame(
+        [("u1", ""), ("u2", None), ("u3", "some real text here")],
+        "url: string, text: string")
+    from dataqualityassistant_spark.functions.scoring import with_text_scores
+    row = {r["url"]: r for r in with_text_scores(sdf).collect()}
+    assert row["u1"]["log_ppl"] is None          # empty text: NaN -> NULL
+    assert row["u2"]["log_ppl"] is None
+    assert row["u3"]["log_ppl"] is not None
+    assert row["u1"]["top_2gram_char_frac"] is None

@@ -195,10 +195,14 @@ class QualityFilterPipeline:
         metric_masks = self._expectation_metric_masks()
         all_metrics: list[dict] = []
         n_rows_total = 0
+        # wave keys continue from completed waves so a resume never reuses a
+        # (run_id, wave) partition of the lineage/metrics tables
+        wave_base = len(store.records(run_id)) if store else 0
 
         wave_groups = [pending[i::waves] for i in range(waves)] if pending else []
         wave_groups = [w for w in wave_groups if w]
         for wave_idx, buckets in enumerate(wave_groups):
+            wave_key = wave_base + wave_idx
             scored = self.score(pages).filter(F.col("part_bucket").isin(buckets))
 
             obs = Observation(f"metrics-{run_id}-{wave_idx}")
@@ -216,17 +220,26 @@ class QualityFilterPipeline:
             row = obs.get
             element_count = int(row["element_count"])
             n_rows_total += element_count
+            wave_metrics = []
             for k, (rule_name, etype, kwargs, mostly, _) in enumerate(metric_masks):
                 cnt = int(row[f"u{k}"] or 0)
                 pct = (cnt / element_count * 100) if element_count > 0 else 0
-                all_metrics.append({
-                    "run_id": run_id, "run_ts": run_ts, "wave": wave_idx,
+                wave_metrics.append({
+                    "run_id": run_id, "run_ts": run_ts, "wave": wave_key,
                     "rule_name": rule_name, "expectation_type": etype,
                     "column": kwargs.get("column"),
                     "element_count": element_count, "unexpected_count": cnt,
                     "unexpected_percent": pct,
                     "success": pct <= (1 - mostly) * 100,
                 })
+            all_metrics.extend(wave_metrics)
+            if metrics_path and wave_metrics:
+                # per-wave dynamic partition overwrite: re-running a crashed
+                # wave replaces its metrics instead of appending duplicates,
+                # and metrics for completed waves survive a mid-run crash
+                (spark.createDataFrame(wave_metrics)
+                 .write.mode("overwrite").partitionBy("run_id", "wave")
+                 .parquet(metrics_path))
 
             # lineage: per-bucket counts + warc_ts watermark from the freshly
             # written partitions (2-column pruned scan, bucket-pruned read).
@@ -234,7 +247,7 @@ class QualityFilterPipeline:
                 # empty wave: nothing written (parquet emits no files), so
                 # there is nothing to read back — just checkpoint the buckets.
                 if store:
-                    store.mark_completed(run_id, wave_idx + len(done), buckets,
+                    store.mark_completed(run_id, wave_key, buckets,
                                          {"rows": 0, "kept": 0, "watermark": None})
                 continue
             out = spark.read.parquet(output_path).filter(F.col("part_bucket").isin(buckets))
@@ -246,23 +259,24 @@ class QualityFilterPipeline:
                     F.max("warc_ts").alias("watermark"),
                 )
                 .withColumn("run_id", F.lit(run_id))
-                .withColumn("wave", F.lit(wave_idx))
+                .withColumn("wave", F.lit(wave_key))
             )
             lineage_rows = lineage.collect()
             if lineage_path:
-                lineage.write.mode("append").parquet(lineage_path)
+                # per-wave dynamic partition overwrite, like metrics: a wave
+                # re-run after a crash-between-lineage-and-checkpoint
+                # replaces its partition instead of duplicating rows
+                (lineage.write.mode("overwrite").partitionBy("run_id", "wave")
+                 .parquet(lineage_path))
 
             if store:
                 kept = sum(r["kept"] or 0 for r in lineage_rows)
                 rows = sum(r["rows"] for r in lineage_rows)
                 watermark = max((r["watermark"] for r in lineage_rows if r["watermark"]), default=None)
-                store.mark_completed(run_id, wave_idx + len(done), buckets, {
+                store.mark_completed(run_id, wave_key, buckets, {
                     "rows": int(rows), "kept": int(kept),
                     "watermark": watermark.isoformat() if watermark else None,
                 })
-
-        if metrics_path and all_metrics:
-            spark.createDataFrame(all_metrics).write.mode("append").parquet(metrics_path)
 
         return {
             "run_id": run_id,

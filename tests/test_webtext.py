@@ -268,3 +268,24 @@ def test_pipeline_empty_text_scores_are_null_not_nan(spark):
     assert row["u2"]["log_ppl"] is None
     assert row["u3"]["log_ppl"] is not None
     assert row["u1"]["top_2gram_char_frac"] is None
+
+
+def test_resume_lineage_metrics_no_duplicates(spark, tmp_path):
+    pages = pages_spark_df(spark, 200, partitions=4)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    lin, met = str(tmp_path / "lineage"), str(tmp_path / "metrics")
+    pipe = QualityFilterPipeline(n_buckets=4)
+    pipe.run(spark, pages, out, lineage_path=lin, metrics_path=met,
+             checkpoint_path=ckpt, run_id="r", max_buckets=2)
+    pipe.run(spark, pages, out, lineage_path=lin, metrics_path=met,
+             checkpoint_path=ckpt, run_id="r")
+    lineage = spark.read.parquet(lin)
+    # exactly one lineage row per bucket across both runs
+    assert lineage.count() == 4
+    assert lineage.select("part_bucket").distinct().count() == 4
+    assert lineage.agg(F.sum("rows")).collect()[0][0] == 200
+    metrics = spark.read.parquet(met)
+    n_exp = len(pipe._expectation_metric_masks())
+    # one metrics row per (wave, expectation); 2 waves total, no dupes
+    assert metrics.count() == 2 * n_exp
+    assert metrics.select("wave").distinct().count() == 2

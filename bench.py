@@ -93,7 +93,10 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 4)
 
     sf = _sf_label(SF_DIR)
-    n_pages = 100000 if sf >= 0.1 else 5000
+    # sized so the 16-core compute leg runs ≥30s: per-job fixed overhead
+    # (~5s of scheduling/shuffle/Arrow setup) must stay <15% of the measured
+    # window or Amdahl noise dominates the scaling-efficiency estimate
+    n_pages = 200000 if sf >= 0.1 else 5000
     pages_path = ensure_pages(spark, n_pages)
     spark.stop()
 

@@ -1,8 +1,9 @@
 """Subprocess worker for the scaling benchmark: runs the full quality-filter
 pipeline on a pre-generated pages parquet at a given core count in a fresh
-JVM, printing one JSON line with docs/sec. Invoked by bench.py at two
-parallelism levels (local[8] vs local[32]) as the sandbox stand-in for the
-N vs 4N executor cluster-size check (BASELINE.md)."""
+JVM (taskset-pinned by bench.py), printing one JSON line with compute and
+end-to-end docs/sec. Invoked at two parallelism levels (N and 4N cores,
+default 4 vs 16 — see bench.py for why not 8 vs 32 on this box) as the
+sandbox stand-in for the N vs 4N executor cluster-size check (BASELINE.md)."""
 
 from __future__ import annotations
 

@@ -23,7 +23,7 @@ from functools import lru_cache
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -116,16 +116,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                            bands: int = 16, threshold: float = 0.8) -> DataFrame:
+                            bands: int = 16, threshold: float = 0.8,
+                            max_bucket_size: int | None = None) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows of
     (band_idx, band_hash); a self-join on those keys yields candidate pairs
     (bucket-local — never all-pairs); signature agreement >= threshold is
     the returned Jaccard estimate filter.
 
     Scale notes: the exploded table is rows×bands; the self-join shuffles on
-    (band, hash) so only colliding docs meet. Giant buckets (boilerplate
-    shingles) are handled upstream by salting or by capping bucket size.
-    """
+    (band, hash) so only colliding docs meet. A giant bucket (boilerplate —
+    e.g. millions of near-empty pages sharing a template) turns its bucket
+    into an O(n²) hot spot; ``max_bucket_size`` drops buckets above the cap
+    (a bucket of identical boilerplate needs only pairwise linking through
+    ANY one member, and exact dedup upstream catches true duplicates —
+    standard practice for web-scale MinHash)."""
     first = signatures.select(F.size("signature").alias("n")).where(F.col("n") > 0).first()
     if first is not None and first["n"] < bands:
         # rows_per_band would floor to 0 → every band hashes an empty slice
@@ -148,6 +152,13 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             F.xxhash64(F.slice("signature", F.col("band") * F.col("rpb") + 1, F.col("rpb"))).alias("bh"),
         )
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("__bsize", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsize") <= max_bucket_size)
+            .drop("__bsize")
+        )
     # Candidate pairs dedupe on (id_a, id_b) ONLY — a distinct over the full
     # signature arrays would shuffle ~1 KB per row instead of 16 bytes.
     # Signatures re-attach afterwards via two joins against the (small
@@ -236,7 +247,8 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
 # ------------------------------------------------------------- ngram jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for all pairs sharing at least
     one shingle. Pure DataFrame algebra (explode → shingle self-join →
     count ∩ → |A|+|B|−∩ union). Exact and therefore the most expensive
@@ -255,11 +267,31 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             )
         ),
     )
-    shingled = (
-        df.select(F.col(id_col), grams.alias("grams"))
-        .where(F.col("grams").isNotNull())
-        .select(id_col, F.size("grams").alias("n_grams"), F.explode("grams").alias("g"))
-    )
+    if max_shingle_df is None:
+        # fast path: per-doc shingle count comes free from the array size
+        shingled = (
+            df.select(F.col(id_col), grams.alias("grams"))
+            .where(F.col("grams").isNotNull())
+            .select(id_col, F.size("grams").alias("n_grams"), F.explode("grams").alias("g"))
+        )
+    else:
+        # hot shingles (template boilerplate appearing in huge numbers of
+        # docs) are both join-skew bombs and similarity noise; drop them and
+        # compute Jaccard over the retained shingle universe (sizes must be
+        # recomputed post-filter so the denominator stays consistent)
+        exploded = (
+            df.select(F.col(id_col), grams.alias("grams"))
+            .where(F.col("grams").isNotNull())
+            .select(id_col, F.explode("grams").alias("g"))
+        )
+        wdf = Window.partitionBy("g")
+        exploded = (
+            exploded.withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+        sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+        shingled = exploded.join(sizes, id_col)
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g")
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "g")
     inter = (

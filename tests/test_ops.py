@@ -176,3 +176,24 @@ def test_ann_bucketed_store_prunes_partitions(spark, tmp_path):
     # and no unprobed bucket survives into the scan
     probes = set(query_bucket(q, 6, 42))
     assert set(got["vec_id"]) <= set(range(300))
+
+
+def test_minhash_bucket_cap_drops_hot_buckets(spark):
+    # 30 identical boilerplate docs + 2 real dups: with a bucket cap the
+    # boilerplate's O(n^2) bucket is dropped but the small dup pair survives
+    rows = [(i, "identical boilerplate template page " * 10) for i in range(30)]
+    rows += [(100, BASE), (101, BASE)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sigs = minhash_signatures(df, n_hashes=64, shingle=9)
+    pairs = minhash_candidate_pairs(sigs, bands=16, threshold=0.9,
+                                    max_bucket_size=5).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (100, 101) in got
+    assert not any(p[0] < 30 and p[1] < 30 for p in got)  # hot bucket dropped
+
+
+def test_ngram_jaccard_hot_shingle_filter(spark, docs):
+    # with the boilerplate shingle dropped everywhere, real near-dups remain
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=10).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in got and ((1, 3) in got or (2, 3) in got)

@@ -289,3 +289,29 @@ def test_resume_lineage_metrics_no_duplicates(spark, tmp_path):
     # one metrics row per (wave, expectation); 2 waves total, no dupes
     assert metrics.count() == 2 * n_exp
     assert metrics.select("wave").distinct().count() == 2
+
+
+def test_streaming_filter_exactly_once(spark, tmp_path):
+    """readStream -> foreachBatch(score+write): drain with availableNow,
+    then add more files and drain again — streaming checkpoint must process
+    each input file exactly once (no reprocessing of batch 1's files)."""
+    from dataqualityassistant_spark.streaming.stream_filter import start_stream
+    from dataqualityassistant_spark.fixtures import pages_batch, PAGES_SCHEMA
+
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    spark.createDataFrame(pages_batch(0, 80), PAGES_SCHEMA).write.mode("append").parquet(inp)
+    q = start_stream(spark, inp, out, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).count()
+    assert first == 80
+
+    spark.createDataFrame(pages_batch(80, 120), PAGES_SCHEMA).write.mode("append").parquet(inp)
+    q = start_stream(spark, inp, out, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 120                       # 40 new rows, no dupes
+    assert final.select("url").distinct().count() == 120
+    assert {"verdict", "scrubbed_text", "batch_id"} <= set(final.columns)

@@ -127,6 +127,12 @@ def q_exp_fk_membership(spark, sf_dir):
                        "ref_column": "c_custkey"})
 
 
+def q_exp_json_parseable(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "events"),
+                      "expect_column_values_to_be_json_parseable",
+                      {"column": "props"})
+
+
 def q_exp_mean_between(spark, sf_dir):
     return _metric_df(spark, _t(spark, sf_dir, "lineitem"),
                       "expect_column_mean_to_be_between",
@@ -362,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_pair_greater": q_exp_pair_greater,
         "exp_fk_membership": q_exp_fk_membership,
         "exp_mean_between": q_exp_mean_between,
+        "exp_json_parseable": q_exp_json_parseable,
         "embedding_near_dups": q_embedding_near_dups,
         "suite_documents": q_suite_documents,
         "word_stats": q_word_stats,
@@ -417,6 +424,9 @@ def oracle_sql() -> dict[str, str]:
         "exp_fk_membership": _metric_sql(
             "orders",
             "SUM(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END)"),
+        "exp_json_parseable": _metric_sql(
+            "events",
+            "SUM(CASE WHEN props IS NOT NULL AND NOT json_valid(props) THEN 1 ELSE 0 END)"),
         "exp_mean_between": _metric_sql(
             "lineitem",
             "CASE WHEN AVG(l_quantity) BETWEEN 10.0 AND 40.0 THEN 0 ELSE COUNT(*) END"),

@@ -415,6 +415,16 @@ def _c_distinct_between(kwargs):
                      F.count_distinct(F.col(kwargs["column"])))
 
 
+@register_expectation("expect_column_values_to_be_json_parseable")
+def _c_json_parseable(kwargs):
+    # extended op for semi-structured columns (e.g. a props payload):
+    # unexpected = non-null values that fail JSON parsing. try_parse_json
+    # (variant) returns null exactly where DuckDB's json_valid is false.
+    c = F.col(kwargs["column"])
+    mask = c.isNotNull() & F.try_parse_json(c.cast("string")).isNull()
+    return _simple("expect_column_values_to_be_json_parseable", kwargs, mask, kwargs["column"])
+
+
 @register_expectation("expect_column_values_to_be_in_table_set")
 def _c_in_table_set(kwargs):
     """FK-style membership against another table (the reference documents

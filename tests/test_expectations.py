@@ -385,3 +385,10 @@ def test_invalid_regex_errors_only_that_expectation(spark):
     assert suite["results"][0]["success"] is False
     assert suite["results"][0]["results"][0].get("error")
     assert suite["results"][1]["success"] is True
+
+
+def test_json_parseable(spark):
+    df = mk_df(spark, [('{"k": 1}',), ("[1,2]",), ("nope",), (None,), ("",)], "j: string")
+    r = single(df, "expect_column_values_to_be_json_parseable", {"column": "j"})
+    assert r["result"]["unexpected_count"] == 2  # 'nope' and ''; null passes
+    assert sorted(r["result"]["unexpected_values"]) == ["", "nope"]

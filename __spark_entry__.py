@@ -4,9 +4,12 @@
 metrics over the sf0.001 documents table.
 ``queries()`` / ``oracle_sql()`` — one pair per implemented operator from
 SURVEY.md §2 plus the training-data ops; oracles are ANSI SQL for DuckDB
-over the same parquet views. Ops that SQL cannot express (minhash/simhash/
-LSH/langid/fingerprints) have queries-only entries (driver records a
-rows-only check).
+over the same parquet views. Ops that SQL cannot express directly (minhash/
+simhash/LSH/langid/perplexity/fingerprints) get literal oracles: the
+expected output is recomputed serially driver-side (shared pure scoring
+functions + independent plain-Python bucketing logic, see ``oracles.py``)
+and rendered as DuckDB VALUES/IN literals, so all 30 queries are value-
+checked, not just row-counted.
 
 All computed columns are aliased identically on both sides; counts are cast
 to BIGINT (DuckDB SUM yields HUGEINT otherwise) and ratios computed as
@@ -41,6 +44,7 @@ from dataqualityassistant_spark.ops.textstats import TOKEN_PATTERN, with_fingerp
 from dataqualityassistant_spark.functions.scrub import SCRUB_PATTERNS, scrub_text_column
 from dataqualityassistant_spark.functions.langid import langid_udf
 from dataqualityassistant_spark.functions.perplexity import perplexity_udf
+from dataqualityassistant_spark.oracles import fixture_oracle_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -318,7 +322,9 @@ def q_minhash_dup_pairs(spark, sf_dir):
     # single-file input = 1-2 splits; spread signature computation across cores
     both = docs.unionByName(shifted).repartition(spark.sparkContext.defaultParallelism)
     sigs = minhash_signatures(both, n_hashes=64, shingle=9)
-    return minhash_candidate_pairs(sigs, bands=16, threshold=0.9)
+    # n_hashes passed through => zero eager probes; signatures persisted
+    # inside (the relation feeds 4 plan subtrees)
+    return minhash_candidate_pairs(sigs, bands=16, threshold=0.9, n_hashes=64)
 
 
 def q_simhash_dup_pairs(spark, sf_dir):
@@ -335,7 +341,10 @@ def q_langid_docs(spark, sf_dir):
 
 def q_perplexity_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.round(perplexity_udf(F.col("text")), 6).alias("log_ppl"))
+    # nanvl: null/empty text scores NaN in the pure fn -> surface as NULL
+    # (bit-exact doubles otherwise; the literal oracle emits the same float64)
+    ppl = perplexity_udf(F.col("text"))
+    return docs.select("doc_id", F.nanvl(ppl, F.lit(None).cast("double")).alias("log_ppl"))
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -586,7 +595,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN grams gb ON gb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / CAST(ga.n_grams + gb.n_grams - i AS DOUBLE) >= 0.999
         """,
-        # minhash_dup_pairs / simhash_dup_pairs / langid_docs / perplexity_docs
-        # / ann_lsh_topk / fingerprints: intentionally omitted — hash-model /
-        # model-based ops with no SQL equivalent (rows-only driver check).
+        # minhash_dup_pairs / simhash_dup_pairs / langid_docs /
+        # perplexity_docs / ann_lsh_topk / fingerprints: literal oracles —
+        # expected rows recomputed serially driver-side (shared pure
+        # functions + independent plain-Python bucketing) and rendered as
+        # DuckDB VALUES/IN literals. See dataqualityassistant_spark/oracles.py.
+        **fixture_oracle_sql(),
     }

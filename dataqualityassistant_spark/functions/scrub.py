@@ -34,7 +34,9 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
     ("card", r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b", "[CARD]"),
-    ("phone", r"\b\+?[0-9]{1,2}?[ -.]?\(?[0-9]{3}\)?[ -.][0-9]{3}[ -.][0-9]{4}\b", "[PHONE]"),
+    # hyphen FIRST in the class: `[ -.]` would be a range from 0x20 to 0x2E
+    # matching !"#$%&'()*+, as separators too (only space/dash/dot intended)
+    ("phone", r"\b\+?[0-9]{1,2}?[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "[PHONE]"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
     ("toxic", r"\b(?:" + "|".join(TOXIC_WORDS) + r")\b", "[REDACTED]"),
 ]

@@ -39,6 +39,7 @@ from typing import Any, Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Expectation types the reference actually evaluates
 # (quality_engine.py:233,260,290,335,370).
@@ -212,7 +213,10 @@ def _python_regex_match_col(column: str, pattern: str) -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("boolean")
+    # DataType OBJECT, not a DDL string: DDL parsing needs an active
+    # SparkContext, which executor-side module imports don't have (repo-wide
+    # hard constraint; see langid.py/text_features.py).
+    @pandas_udf(T.BooleanType())
     def _match(s: pd.Series) -> pd.Series:
         rx = re.compile(pattern)
         return s.astype(str).map(lambda v: rx.match(v) is not None)

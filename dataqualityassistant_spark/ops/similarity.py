@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -58,21 +58,23 @@ def lsh_bucket_ids(df: DataFrame, vec_col: str = "embedding", n_planes: int = 12
                    dim: int | None = None, seed: int = 42, out_col: str = "bucket") -> DataFrame:
     """Random-hyperplane bucket id per row (int, 0..2^n_planes-1). One numpy
     matmul per Arrow batch; planes are rebuilt deterministically per worker
-    from the seed (no broadcast needed for metadata-sized planes)."""
-    if dim is None:
-        probe = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
-        if probe is None:
-            raise ValueError(f"cannot infer embedding dim: no non-null '{vec_col}' rows")
-        dim = len(probe[0])
+    from the seed (no broadcast needed for metadata-sized planes).
+
+    ``dim`` may be omitted: it is then inferred executor-side from the first
+    non-null vector of each Arrow batch (all rows share one embedding dim, so
+    every worker derives identical planes). Plan construction never fires a
+    driver-side job either way — on a 100 TB input an eager ``.first()``
+    probe would be an extra cluster job per plan build."""
 
     @pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
-        planes = _planes(dim, n_planes, seed)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         out = np.full(len(vecs), -1, dtype=np.int64)
         valid = vecs.notna().to_numpy()
         if valid.any():
             m = np.stack(vecs[valid].to_numpy())
+            d = dim if dim is not None else m.shape[1]
+            planes = _planes(d, n_planes, seed)
             signs = (m @ planes) > 0
             out[valid] = signs @ weights
         return pd.Series(out).where(pd.Series(valid), None).astype("Int32")
@@ -95,7 +97,8 @@ def query_bucket(query, n_planes: int = 12, seed: int = 42, multiprobe: bool = T
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              n_planes: int = 8, seed: int = 42,
-                             exhaustive: bool = False) -> DataFrame:
+                             exhaustive: bool = False,
+                             max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
     Default path: LSH-bucketed — only same-bucket pairs are candidates
@@ -103,6 +106,13 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     cosine filters. Recall misses pairs split across buckets; lower
     n_planes or run twice with different seeds for higher recall.
     ``exhaustive=True`` skips bucketing (exact, O(n²) — validation only).
+
+    Sizing at scale: 2^n_planes must be large relative to corpus size or a
+    bucket degenerates to O(n²) — pick ``n_planes ≈ log2(n_rows / target
+    bucket size)`` (e.g. 10^12 rows / ~4k-row buckets → 28 planes), and set
+    ``max_bucket_size`` as a hard skew guard: buckets above the cap (a giant
+    boilerplate embedding cluster) are dropped entirely, mirroring MinHash's
+    hot-bucket cap — exact dedup upstream catches true duplicates.
     """
     emb_norm = F.sqrt(
         F.aggregate(F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
@@ -114,6 +124,11 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         keyed = base.withColumn("__b", F.lit(0))
     else:
         keyed = lsh_bucket_ids(base, vec_col, n_planes, seed=seed, out_col="__b")
+    if max_bucket_size is not None and not exhaustive:
+        w = Window.partitionBy("__b")
+        keyed = (keyed.withColumn("__bsize", F.count(F.lit(1)).over(w))
+                 .where(F.col("__bsize") <= max_bucket_size)
+                 .drop("__bsize"))
     a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                      F.col("__norm").alias("na"), "__b")
     b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),

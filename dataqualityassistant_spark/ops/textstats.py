@@ -50,35 +50,35 @@ _W = 8  # winnowing window (fingerprints per ~W tokens)
 _K = 5  # k-gram size
 
 
+def winnow_fingerprints(text: str | None) -> list[int] | None:
+    """Winnowing fingerprints (Schleimer et al.) of one document: rolling
+    k-gram hashes, minimum per sliding window, deduplicated — a compact,
+    alignment-robust signature for copy detection. Deterministic crc-based
+    hashing. Pure function — shared by the Spark UDF and the driver-side
+    oracle so fingerprints agree exactly."""
+    if not text:
+        return None
+    tokens = text.lower().split()
+    if len(tokens) < _K:
+        return []
+    hs = np.fromiter(
+        (
+            ((zlib.crc32(" ".join(tokens[i : i + _K]).encode()) << 32)
+             | zlib.crc32(" ".join(tokens[i : i + _K])[::-1].encode()))
+            & 0x7FFFFFFFFFFFFFFF
+            for i in range(len(tokens) - _K + 1)
+        ),
+        dtype=np.int64,
+    )
+    if hs.size <= _W:
+        return sorted({int(hs.min())})
+    return sorted({int(hs[i : i + _W].min()) for i in range(hs.size - _W + 1)})
+
+
 @pandas_udf(T.ArrayType(T.LongType()))
 def fingerprint_udf(texts: pd.Series) -> pd.Series:
-    """Winnowing fingerprints (Schleimer et al.): rolling k-gram hashes,
-    minimum per sliding window, deduplicated — a compact, alignment-robust
-    document signature for copy detection. Deterministic crc-based hashing."""
-    out = []
-    for t in texts:
-        if not t:
-            out.append(None)
-            continue
-        tokens = t.lower().split()
-        if len(tokens) < _K:
-            out.append([])
-            continue
-        hs = np.fromiter(
-            (
-                ((zlib.crc32(" ".join(tokens[i : i + _K]).encode()) << 32)
-                 | zlib.crc32(" ".join(tokens[i : i + _K])[::-1].encode()))
-                & 0x7FFFFFFFFFFFFFFF
-                for i in range(len(tokens) - _K + 1)
-            ),
-            dtype=np.int64,
-        )
-        if hs.size <= _W:
-            out.append(sorted(set([int(hs.min())])))
-            continue
-        mins = {int(hs[i : i + _W].min()) for i in range(hs.size - _W + 1)}
-        out.append(sorted(mins))
-    return pd.Series(out)
+    """Arrow-batched wrapper over :func:`winnow_fingerprints`."""
+    return pd.Series([winnow_fingerprints(t) for t in texts])
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text", out_col: str = "fingerprints") -> DataFrame:

@@ -1,0 +1,239 @@
+"""Driver-side literal oracles for the hash/model-based queries.
+
+Six of the ``__spark_entry__.queries()`` entries (minhash/simhash candidate
+pairs, langid, perplexity, LSH ANN top-k, winnowing fingerprints) have no
+ANSI-SQL equivalent a plain DuckDB statement can express. They ARE fully
+deterministic (fixed seeds, fixed hash parameters), so this module computes
+the expected output *serially, driver-side, without Spark*:
+
+- per-document scores come from the SAME pure functions the Arrow UDFs wrap
+  (``langid.classify_text``, ``perplexity.log_perplexity``,
+  ``dedup.minhash_signature_batch``, ``dedup.simhash_one``,
+  ``textstats.winnow_fingerprints``) — the oracle validates Spark's
+  *distributed plumbing* (Arrow batching, column wiring, joins, dedup,
+  ordering) against a single-threaded reference run;
+- the candidate-pair / bucketing logic (LSH banding, chunk pigeonholing,
+  hyperplane buckets) is REIMPLEMENTED here in plain Python dict/set algebra,
+  independent of the DataFrame join/window formulation it checks.
+
+The expected rows are rendered as DuckDB ``VALUES`` literals (or an ``IN``
+candidate list for ANN, keeping the cosine math inside DuckDB), so the
+driver's side-by-side compare treats them like any other oracle query.
+
+The driver evaluates oracles at sf=0.01 over pre-registered views of
+``/root/testdata/sf0.01`` (override with ``SPARK_GRAFT_ORACLE_SF_DIR``).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import defaultdict
+from functools import lru_cache
+from itertools import combinations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from dataqualityassistant_spark.functions.langid import classify_text
+from dataqualityassistant_spark.functions.perplexity import log_perplexity
+from dataqualityassistant_spark.ops.dedup import minhash_signature_batch, simhash_one
+from dataqualityassistant_spark.ops.similarity import _planes, query_bucket
+from dataqualityassistant_spark.ops.textstats import winnow_fingerprints
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+# ------------------------------------------------------------ SQL rendering
+
+def _sql_varchar(v) -> str:
+    if v is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _sql_double(v) -> str:
+    # CAST-from-repr keeps full float64 precision and avoids DuckDB parsing
+    # the literal as DECIMAL (CLAUDE.md / oracle.py convention)
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "CAST(NULL AS DOUBLE)"
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _sql_bigint(v) -> str:
+    return "CAST(NULL AS BIGINT)" if v is None else f"CAST({int(v)} AS BIGINT)"
+
+
+def _sql_int(v) -> str:
+    return "CAST(NULL AS INTEGER)" if v is None else f"CAST({int(v)} AS INTEGER)"
+
+
+def values_sql(rows: list[tuple], columns: list[str], renderers: list) -> str:
+    """``SELECT * FROM (VALUES ...) AS t(cols)`` for a literal expected
+    result; typed empty relation when there are no rows."""
+    if not rows:
+        null_cells = ", ".join(f"{r(None)} AS {c}" for r, c in zip(renderers, columns))
+        return f"SELECT {null_cells} WHERE FALSE"
+    lines = ",\n  ".join(
+        "(" + ", ".join(r(v) for r, v in zip(renderers, row)) + ")" for row in rows
+    )
+    return f"SELECT * FROM (VALUES\n  {lines}\n) AS t({', '.join(columns)})"
+
+
+# ------------------------------------------------------------- table readers
+
+@lru_cache(maxsize=4)
+def _docs(sf_dir: str) -> tuple[tuple[int, str | None], ...]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tuple(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+@lru_cache(maxsize=4)
+def _embeddings(sf_dir: str) -> tuple[tuple[int, tuple[float, ...] | None], ...]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    return tuple((i, tuple(e) if e is not None else None) for i, e in zip(ids, embs))
+
+
+def _union_with_shifted(docs) -> list[tuple[int, str]]:
+    """documents ∪ (doc_id+1000000 re-keyed copy), text non-null — the input
+    shape the dedup entry queries build."""
+    base = [(i, t) for i, t in docs if t is not None]
+    return base + [(i + 1000000, t) for i, t in base]
+
+
+# ------------------------------------------------------------ expected rows
+
+def _minhash_expected(sf_dir: str, n_hashes: int = 64, shingle: int = 9, seed: int = 42,
+                      bands: int = 16, threshold: float = 0.9) -> list[tuple]:
+    both = _union_with_shifted(_docs(sf_dir))
+    sigs = minhash_signature_batch([t for _, t in both], n_hashes, shingle, seed)
+    rpb = n_hashes // bands
+    sig_by_id: dict[int, list[int]] = {}
+    buckets: dict[tuple, list[int]] = defaultdict(list)
+    for (i, _), s in zip(both, sigs):
+        if s is None:
+            continue
+        sig_by_id[i] = s
+        for b in range(bands):
+            buckets[(b, tuple(s[b * rpb:(b + 1) * rpb]))].append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        for a, b in combinations(sorted(members), 2):
+            cand.add((a, b))
+    rows = []
+    for a, b in sorted(cand):
+        sa, sb = sig_by_id[a], sig_by_id[b]
+        agree = sum(1 for x, y in zip(sa, sb) if x == y)
+        est = agree / n_hashes  # int/int -> float64, same as Spark's int/int -> double
+        if est >= threshold:
+            rows.append((a, b, est))
+    return rows
+
+
+def _simhash_expected(sf_dir: str, max_hamming: int = 2) -> list[tuple]:
+    both = _union_with_shifted(_docs(sf_dir))
+    u_by_id: dict[int, int] = {}
+    for i, t in both:
+        h = simhash_one(t)
+        if h is not None:
+            u_by_id[i] = h & 0xFFFFFFFFFFFFFFFF  # unsigned view of the int64
+    buckets: dict[tuple, list[int]] = defaultdict(list)
+    for i, u in u_by_id.items():
+        for c in range(4):
+            buckets[(c, (u >> (16 * c)) & 0xFFFF)].append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        for a, b in combinations(sorted(members), 2):
+            cand.add((a, b))
+    rows = []
+    for a, b in sorted(cand):
+        ham = (u_by_id[a] ^ u_by_id[b]).bit_count()
+        if ham <= max_hamming:
+            rows.append((a, b, ham))
+    return rows
+
+
+def _langid_expected(sf_dir: str) -> list[tuple]:
+    return [(i, classify_text(t)[0]) for i, t in _docs(sf_dir)]
+
+
+def _perplexity_expected(sf_dir: str) -> list[tuple]:
+    rows = []
+    for i, t in _docs(sf_dir):
+        p = log_perplexity(t)
+        rows.append((i, None if math.isnan(p) else p))
+    return rows
+
+
+def _fingerprints_expected(sf_dir: str) -> list[tuple]:
+    rows = []
+    for i, t in _docs(sf_dir):
+        fp = winnow_fingerprints(t)
+        rows.append((i, None if fp is None else len(fp)))
+    return rows
+
+
+def _ann_candidate_ids(sf_dir: str, n_planes: int = 8, seed: int = 42) -> list[int]:
+    """vec_ids landing in the query's probe buckets — replicates
+    ``lsh_bucket_ids`` (executor numpy matmul on float32 vectors) +
+    ``query_bucket`` multiprobe exactly, serially."""
+    embs = _embeddings(sf_dir)
+    q = next(e for i, e in embs if i == 0)
+    probes = set(query_bucket(list(q), n_planes, seed, multiprobe=True))
+    valid = [(i, e) for i, e in embs if e is not None]
+    m = np.array([e for _, e in valid], dtype=np.float32)
+    planes = _planes(m.shape[1], n_planes, seed)
+    signs = (m @ planes) > 0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    b = signs @ weights
+    return [i for (i, _), bb in zip(valid, b) if int(bb) in probes]
+
+
+# --------------------------------------------------------------- public API
+
+@lru_cache(maxsize=4)
+def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
+    """Oracle SQL (literal expected results) for the six non-SQL queries."""
+    ann_ids = _ann_candidate_ids(sf_dir)
+    in_list = ", ".join(str(i) for i in sorted(ann_ids)) or "-1"
+    return {
+        "minhash_dup_pairs": values_sql(
+            _minhash_expected(sf_dir),
+            ["id_a", "id_b", "jaccard_est"],
+            [_sql_bigint, _sql_bigint, _sql_double],
+        ),
+        "simhash_dup_pairs": values_sql(
+            _simhash_expected(sf_dir),
+            ["id_a", "id_b", "hamming"],
+            [_sql_bigint, _sql_bigint, _sql_int],
+        ),
+        "langid_docs": values_sql(
+            _langid_expected(sf_dir),
+            ["doc_id", "detected_lang"],
+            [_sql_bigint, _sql_varchar],
+        ),
+        "perplexity_docs": values_sql(
+            _perplexity_expected(sf_dir),
+            ["doc_id", "log_ppl"],
+            [_sql_bigint, _sql_double],
+        ),
+        "fingerprints": values_sql(
+            _fingerprints_expected(sf_dir),
+            ["doc_id", "n_fingerprints"],
+            [_sql_bigint, _sql_int],
+        ),
+        # ANN: only the LSH bucket membership is computed here; the cosine
+        # scoring + ordering stays in DuckDB (same shape as the exhaustive
+        # topk_cosine oracle, restricted to the probed buckets' members).
+        "ann_lsh_topk": f"""
+            SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id IN ({in_list})
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+            LIMIT 10
+        """,
+    }

@@ -392,3 +392,21 @@ def test_json_parseable(spark):
     r = single(df, "expect_column_values_to_be_json_parseable", {"column": "j"})
     assert r["result"]["unexpected_count"] == 2  # 'nope' and ''; null passes
     assert sorted(r["result"]["unexpected_values"]) == ["", "nope"]
+
+
+def test_reference_parity_error_dict_exact_shape(spark):
+    """reference_parity=True must reproduce the reference's error-result dict
+    EXACTLY (quality_engine.py:412-420: keys, error string, empty sample_rows,
+    kwargs passthrough) — locks the parity switch against drift."""
+    df = mk_df(spark, [(1, 1)], "a: int, b: int")
+    kwargs = {"column_A": "a", "column_B": "b", "mostly": 0.9}
+    r = single(df, "expect_column_pair_values_to_be_equal", kwargs,
+               reference_parity=True)
+    assert r == {
+        "expectation_type": "expect_column_pair_values_to_be_equal",
+        "success": False,
+        "error": ("Expectation type 'expect_column_pair_values_to_be_equal' "
+                  "not implemented in direct evaluation mode"),
+        "sample_rows": [],
+        "kwargs": kwargs,
+    }

@@ -197,3 +197,143 @@ def test_ngram_jaccard_hot_shingle_filter(spark, docs):
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=10).toPandas()
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (1, 2) in got and ((1, 3) in got or (2, 3) in got)
+
+
+def test_simhash_bucket_cap_drops_hot_buckets(spark):
+    # 30 identical boilerplate docs (one O(n^2) chunk bucket) + 2 real dups:
+    # the cap drops the hot bucket, the small pair survives
+    rows = [(i, "identical boilerplate template page " * 10) for i in range(30)]
+    rows += [(100, BASE), (101, BASE)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = simhash_candidate_pairs(simhash(df), max_hamming=3,
+                                    max_bucket_size=5).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (100, 101) in got
+    assert not any(p[0] < 30 and p[1] < 30 for p in got)
+
+
+def test_embedding_bucket_cap_drops_hot_buckets(spark):
+    # a 40-vector identical embedding cluster (hot LSH bucket) + one near-dup
+    # pair elsewhere: cap bounds the cluster, keeps the real pair (as long as
+    # its bucket stays under the cap)
+    rng = np.random.RandomState(11)
+    hot = rng.standard_normal(8).astype("float32")
+    rows = [(i, [float(x) for x in hot]) for i in range(40)]
+    a = rng.standard_normal(8).astype("float32")
+    rows += [(100, [float(x) for x in a]), (101, [float(x) for x in a * 2.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    uncapped = embedding_near_dup_pairs(df, threshold=0.99, n_planes=6).toPandas()
+    assert len(uncapped) >= 40 * 39 / 2  # hot bucket is quadratic
+    capped = embedding_near_dup_pairs(df, threshold=0.99, n_planes=6,
+                                      max_bucket_size=10).toPandas()
+    got = {tuple(sorted((a_, b_))) for a_, b_ in zip(capped["id_a"], capped["id_b"])}
+    assert (100, 101) in got
+    assert not any(p[0] < 40 and p[1] < 40 for p in got)
+
+
+def test_candidate_plan_construction_fires_no_jobs(spark):
+    """Building the minhash-pairs / lsh-bucket plans must run ZERO Spark jobs
+    (on a 100 TB input an eager .first() probe is an extra cluster job per
+    plan build). The probe UDF feeds an accumulator: any eager evaluation
+    during plan construction would bump it."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def probe_sig(ids: pd.Series) -> pd.Series:
+        acc.add(int(len(ids)))
+        return pd.Series([[int(i)] * 64 for i in ids])
+
+    sigs = spark.range(8).select(
+        F.col("id").alias("doc_id"), probe_sig(F.col("id")).alias("signature"))
+    pairs_plan = minhash_candidate_pairs(sigs, bands=16, threshold=0.5, n_hashes=64)
+    assert acc.value == 0, "minhash plan construction ran a Spark job"
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def probe_vec(ids: pd.Series) -> pd.Series:
+        acc.add(int(len(ids)))
+        return pd.Series([[float(i), float(i) + 1.0, 1.0] for i in ids])
+
+    vecs = spark.range(8).select(
+        F.col("id").alias("vec_id"), probe_vec(F.col("id")).alias("embedding"))
+    bucket_plan = lsh_bucket_ids(vecs, n_planes=4)  # dim omitted: executor-side inference
+    assert acc.value == 0, "lsh_bucket_ids plan construction ran a Spark job"
+
+    # the plans still execute correctly (and the probes are live) — select
+    # the bucket column so column pruning can't skip the probe UDF
+    assert len(bucket_plan.select("bucket").collect()) == 8
+    assert acc.value > 0
+    assert pairs_plan.columns == ["id_a", "id_b", "jaccard_est"]
+
+
+def test_minhash_bands_validation(spark, docs):
+    sigs = minhash_signatures(docs, n_hashes=8, shingle=5)
+    # driver-side: n_hashes provided -> immediate ValueError, no job
+    with pytest.raises(ValueError, match="bands"):
+        minhash_candidate_pairs(sigs, bands=16, n_hashes=8)
+    # lazy guard: n_hashes omitted -> error surfaces at execution time
+    plan = minhash_candidate_pairs(sigs, bands=16)
+    with pytest.raises(Exception, match="bands"):
+        plan.collect()
+
+
+def test_minhash_signature_batch_matches_naive():
+    """The reduceat-batched signature path must equal the naive per-document
+    formula min((a*h + b) mod p) — guards the batching rewrite."""
+    from dataqualityassistant_spark.ops.dedup import (
+        _MERSENNE, _hash_params, _shingle_hashes, minhash_signature_batch)
+
+    texts = [BASE, NEAR, OTHER, None, "", "tiny", BASE + " tail"]
+    got = minhash_signature_batch(texts, n_hashes=32, shingle=7, seed=42)
+    a, b = _hash_params(32, 42)
+    for t, sig in zip(texts, got):
+        h = _shingle_hashes(t, 7)
+        if h.size == 0:
+            assert sig is None
+            continue
+        hv = h.astype(np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            vals = (hv * a.astype(np.uint64)[None, :] + b.astype(np.uint64)[None, :]) % np.uint64(_MERSENNE)
+        assert sig == vals.min(axis=0).astype(np.int64).tolist()
+
+
+def _tiny_bmp(w=3, h=2, color=(255, 0, 0)) -> bytes:
+    """Hand-rolled uncompressed 24-bit BMP — decodable by PIL when present,
+    no imaging library needed to construct."""
+    import struct
+    row = bytes(color[::-1]) * w
+    pad = (4 - (w * 3) % 4) % 4
+    pixels = (row + b"\x00" * pad) * h
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + pixels
+
+
+def test_multimodal_real_decode_or_refusal(spark):
+    """Keeps the real `_pil_decode` branch from rotting: when PIL is present
+    the BMP header dimensions must come back exactly; when absent,
+    allow_fake=False must refuse rather than fabricate features."""
+    from dataqualityassistant_spark.ops import multimodal as mm
+
+    bmp = _tiny_bmp(w=5, h=3)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), "image/bmp", len(bmp)),
+         (2, "image", bytearray(b"not an image"), "application/octet-stream", 12)],
+        mm.MEDIA_SCHEMA)
+
+    if mm._HAS_PIL:
+        got = {r["media_id"]: r for r in mm.decode_images(df, allow_fake=False).collect()}
+        assert (got[1]["width"], got[1]["height"]) == (5, 3)   # header-true dims
+        assert len(got[1]["features"]) == 16
+        assert got[2]["width"] is None                          # undecodable, no fake
+        # pure-function check on the real branch too
+        w, h, feats = mm._pil_decode(bmp, 16)
+        assert (w, h) == (5, 3) and len(feats) == 16
+    else:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            mm.decode_images(df, allow_fake=False)
+        # fake path stays deterministic and clearly available
+        got = {r["media_id"]: r for r in mm.decode_images(df, allow_fake=True).collect()}
+        assert got[1]["width"] is not None and len(got[1]["features"]) == 16

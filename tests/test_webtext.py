@@ -315,3 +315,35 @@ def test_streaming_filter_exactly_once(spark, tmp_path):
     assert final.count() == 120                       # 40 new rows, no dupes
     assert final.select("url").distinct().count() == 120
     assert {"verdict", "scrubbed_text", "batch_id"} <= set(final.columns)
+
+
+def test_streaming_replayed_batch_is_idempotent(spark, tmp_path):
+    """At-least-once delivery × idempotent sink = exactly-once output: calling
+    the foreachBatch processor twice with the SAME batch_id (a replayed
+    micro-batch after a crash-before-checkpoint-commit) must leave exactly
+    one copy of the rows and metrics; a different batch_id appends."""
+    from dataqualityassistant_spark.streaming.stream_filter import make_batch_processor
+
+    out = str(tmp_path / "scored")
+    met = str(tmp_path / "metrics")
+    pipe = QualityFilterPipeline(n_buckets=4)
+    process = make_batch_processor(pipe, out, metrics_path=met)
+
+    batch0 = spark.createDataFrame(pages_batch(0, 60), PAGES_SCHEMA)
+    process(batch0, 0)
+    process(batch0, 0)  # replay of batch 0
+    final = spark.read.parquet(out)
+    assert final.count() == 60                       # no duplicates
+    assert final.select("url").distinct().count() == 60
+    n_exp = len(pipe._expectation_metric_masks())
+    assert spark.read.parquet(met).count() == n_exp  # metrics not duplicated
+
+    batch1 = spark.createDataFrame(pages_batch(60, 100), PAGES_SCHEMA)
+    process(batch1, 1)                               # new batch appends
+    assert spark.read.parquet(out).count() == 100
+    assert spark.read.parquet(met).count() == 2 * n_exp
+
+    # empty micro-batch (availableNow edge case): no-op, nothing written
+    empty = spark.createDataFrame([], PAGES_SCHEMA)
+    process(empty, 2)
+    assert spark.read.parquet(out).count() == 100

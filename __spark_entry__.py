@@ -29,6 +29,7 @@ from dataqualityassistant_spark.rules import Rule
 from dataqualityassistant_spark.operators.engine import SuiteEngine
 from dataqualityassistant_spark.ops.dedup import (
     exact_dedup,
+    dedup_clusters,
     minhash_signatures,
     minhash_candidate_pairs,
     simhash,
@@ -314,6 +315,36 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive pair→cluster closure: chain doc→copy→second-copy edges so
+    clusters require real propagation (not just pair mirroring); oracle is a
+    DuckDB recursive CTE computing min-reachable-id per node."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 100)
+    e1 = docs.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b"))
+    e2 = docs.select((F.col("doc_id") + 1000000).alias("id_a"), (F.col("doc_id") + 2000000).alias("id_b"))
+    # plus a cross-link joining clusters of doc 0 and doc 1 into one component
+    link = spark.createDataFrame([(1000000, 2000001)], "id_a: bigint, id_b: bigint")
+    pairs = e1.unionByName(e2).unionByName(link)
+    return dedup_clusters(pairs).select("doc_id", "cluster_id")
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-200 tokens by document-and-occurrence count —
+    the tokenizer-training precursor (explode → two-phase hash agg → top-k
+    via TakeOrderedAndProject; no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"),
+             F.count_distinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("occurrences"), "token")
+        .limit(200)
+    )
+
+
 # ---- non-SQL-expressible ops: queries-only (rows-only driver check) ----
 
 def q_minhash_dup_pairs(spark, sf_dir):
@@ -393,6 +424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "fk_orphan_orders": q_fk_orphan_orders,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "dedup_clusters": q_dedup_clusters,
+        "vocab_topk": q_vocab_topk,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "langid_docs": q_langid_docs,
@@ -594,6 +627,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN grams ga ON ga.doc_id = id_a
             JOIN grams gb ON gb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / CAST(ga.n_grams + gb.n_grams - i AS DOUBLE) >= 0.999
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE nodes AS (
+                SELECT doc_id FROM documents WHERE doc_id < 100
+            ),
+            edges AS (
+                SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM nodes
+                UNION ALL
+                SELECT doc_id + 1000000, doc_id + 2000000 FROM nodes
+                UNION ALL
+                SELECT 1000000, 2000001
+            ),
+            undirected AS (
+                SELECT id_a AS src, id_b AS dst FROM edges
+                UNION
+                SELECT id_b, id_a FROM edges
+            ),
+            reach(node, target) AS (
+                SELECT src, src FROM undirected
+                UNION
+                SELECT u.src, r.target FROM undirected u JOIN reach r ON u.dst = r.node
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(target) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "vocab_topk": f"""
+            SELECT token,
+                   CAST(COUNT(*) AS BIGINT) AS occurrences,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM (
+                SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+                FROM documents
+            )
+            GROUP BY token
+            ORDER BY occurrences DESC, token
+            LIMIT 200
         """,
         # minhash_dup_pairs / simhash_dup_pairs / langid_docs /
         # perplexity_docs / ann_lsh_topk / fingerprints: literal oracles —

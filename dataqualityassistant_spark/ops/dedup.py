@@ -48,6 +48,74 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.join(survivors, id_col, "left_semi")
 
 
+# -------------------------------------------------------------- clustering
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iterations: int = 50) -> DataFrame:
+    """Connected components over candidate pairs → (doc_id, cluster_id).
+
+    The missing last step of every dedup pipeline: MinHash/SimHash/embedding
+    stages emit *pairs*; dropping rows needs *clusters* (transitive closure:
+    a~b, b~c ⇒ {a,b,c} is one duplicate group) and a survivor per cluster.
+
+    Algorithm: iterative min-label propagation (the standard MapReduce/Spark
+    connected-components shape, cf. Kiveris et al. "Connected Components in
+    MapReduce and Beyond"): every node starts labeled with its own id; each
+    round pushes the smaller label across every edge both ways and keeps the
+    per-node min; converges in O(diameter) rounds — near-dup clusters are
+    dense, so diameter (and round count) is tiny in practice. Each round is
+    one shuffle keyed by node id over the EDGE relation only (never the full
+    corpus); labels persist between rounds and the loop stops when a round
+    changes nothing (one tiny count per round — the legitimate driver-side
+    part of an iterative algorithm).
+
+    ``cluster_id`` = min doc id in the component.
+    """
+    from pyspark import StorageLevel
+
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    # undirected: propagate both ways
+    both = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (edges.select(F.col("src").alias("node"))
+              .unionByName(edges.select(F.col("dst").alias("node")))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    labels.count()  # materialize before the loop
+    for _ in range(max_iterations):
+        # candidate label per node = min(own, min over neighbors' labels)
+        incoming = (both.join(labels.withColumnRenamed("node", "src"), "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(incoming, "node", "left")
+                      .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+                      .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (new_labels.withColumnRenamed("label", "new_label")
+                   .join(labels, "node")
+                   .where(F.col("new_label") != F.col("label"))
+                   .limit(1).count())
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one survivor (the min id) per duplicate cluster; rows never seen
+    in any pair pass through untouched. Anti-join keyed on the id — the
+    cluster relation is tiny next to the corpus (only paired docs appear),
+    so Catalyst broadcasts it when it fits."""
+    clusters = dedup_clusters(pairs, "id_a", "id_b")
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+
+
 # ------------------------------------------------------------------ minhash
 
 _MERSENNE = (1 << 61) - 1

@@ -114,6 +114,12 @@ class QualityFilterPipeline:
     # each write task handles ~one bucket. Size n_buckets so a bucket fits a
     # task (e.g. rows/bucket ≈ a few hundred MB) at the target scale.
     shuffle_before_write: bool = True
+    # Columns scored but NOT persisted to the output table. Default drops the
+    # raw text: the output corpus is the scrubbed text + features + verdict,
+    # and the input table already holds the raw bytes (lineage via url) —
+    # duplicating them doubles output volume at 100 TB (measured 230 MB →
+    # 123 MB on the 200k-page corpus). Set to () to keep everything.
+    output_drop_columns: tuple = ("text",)
 
     # ------------------------------------------------------------- scoring
 
@@ -210,6 +216,9 @@ class QualityFilterPipeline:
             for k, (_, _, _, _, mask) in enumerate(metric_masks):
                 aggs.append(F.sum(F.when(mask, 1).otherwise(0)).alias(f"u{k}"))
             observed = scored.observe(obs, *aggs)
+            drop = [c for c in self.output_drop_columns if c in observed.columns]
+            if drop:
+                observed = observed.drop(*drop)
             if self.shuffle_before_write:
                 observed = observed.repartition(len(buckets), F.col("part_bucket"))
 

@@ -61,6 +61,9 @@ def make_batch_processor(
                 for k, (_, _, _, _, m) in enumerate(masks)
             ]
             scored = scored.observe(obs, *aggs)
+        drop = [c for c in pipe.output_drop_columns if c in scored.columns]
+        if drop:
+            scored = scored.drop(*drop)
         if pipe.shuffle_before_write:
             scored = scored.repartition(pipe.n_buckets, F.col("part_bucket"))
         # batch_id partitioning + dynamic overwrite = idempotent replay:

@@ -337,3 +337,20 @@ def test_multimodal_real_decode_or_refusal(spark):
         # fake path stays deterministic and clearly available
         got = {r["media_id"]: r for r in mm.decode_images(df, allow_fake=True).collect()}
         assert got[1]["width"] is not None and len(got[1]["features"]) == 16
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """a~b, b~c, and a disjoint pair: clusters must close transitively with
+    cluster_id = min member, even across multi-hop chains."""
+    from dataqualityassistant_spark.ops.dedup import dedup_clusters, drop_near_duplicates
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11), (20, 10)],
+        "id_a: long, id_b: long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 10}
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 7, 10, 11, 20, 99]],
+                                 "doc_id: long, text: string")
+    kept = sorted(r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # one survivor per cluster + untouched row

@@ -347,3 +347,18 @@ def test_streaming_replayed_batch_is_idempotent(spark, tmp_path):
     empty = spark.createDataFrame([], PAGES_SCHEMA)
     process(empty, 2)
     assert spark.read.parquet(out).count() == 100
+
+
+def test_output_drops_raw_text_by_default(spark, tmp_path):
+    """The persisted output is the scrubbed corpus: raw `text` is scored but
+    not written (the input table already holds it; duplicating doubles output
+    volume at scale). output_drop_columns=() keeps everything."""
+    pages = pages_spark_df(spark, 100, partitions=2)
+    out = str(tmp_path / "out")
+    QualityFilterPipeline(n_buckets=2).run(spark, pages, out, run_id="d")
+    cols = set(spark.read.parquet(out).columns)
+    assert "text" not in cols and {"scrubbed_text", "verdict", "url"} <= cols
+
+    out2 = str(tmp_path / "out2")
+    QualityFilterPipeline(n_buckets=2, output_drop_columns=()).run(spark, pages, out2, run_id="d")
+    assert "text" in set(spark.read.parquet(out2).columns)

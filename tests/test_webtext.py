@@ -362,3 +362,34 @@ def test_output_drops_raw_text_by_default(spark, tmp_path):
     out2 = str(tmp_path / "out2")
     QualityFilterPipeline(n_buckets=2, output_drop_columns=()).run(spark, pages, out2, run_id="d")
     assert "text" in set(spark.read.parquet(out2).columns)
+
+
+def test_stateful_domain_stats_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the per-domain running totals must persist in
+    the streaming state store across separate drains (new files between
+    availableNow triggers), and the latest changelog row per domain must
+    equal the batch-mode domain_stats on the union of all input."""
+    from dataqualityassistant_spark.streaming.stateful import start_domain_stats_stream
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("landing", "stats", "ckpt"))
+    pipe = QualityFilterPipeline()
+
+    spark.createDataFrame(pages_batch(0, 120), PAGES_SCHEMA).write.mode("append").parquet(inp)
+    q = start_domain_stats_stream(spark, inp, out, ckpt, pipeline=pipe, trigger_once=True)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(pages_batch(120, 200), PAGES_SCHEMA).write.mode("append").parquet(inp)
+    q = start_domain_stats_stream(spark, inp, out, ckpt, pipeline=pipe, trigger_once=True)
+    q.awaitTermination(120)
+
+    log = spark.read.parquet(out).toPandas()
+    latest = (log.sort_values("batch_id").groupby("domain").last().reset_index())
+
+    pages = spark.createDataFrame(pages_batch(0, 200), PAGES_SCHEMA)
+    want = pipe.domain_stats(pipe.score(pages)).toPandas().fillna({"domain": ""})
+    want["domain"] = want["domain"].fillna("")
+    merged = latest.merge(want, on="domain", suffixes=("_stream", "_batch"))
+    assert len(merged) == len(want)
+    assert (merged["rows_stream"] == merged["rows_batch"]).all()
+    assert (merged["kept_stream"] == merged["kept_batch"]).all()
+    assert int(latest["rows"].sum()) == 200  # state accumulated, not reset

@@ -107,3 +107,31 @@ def test_domain_stats_is_two_phase(spark):
     # salted partial agg then final agg: two exchanges (salted key, domain)
     assert tree.count("Exchange") >= 2
     assert tree.count("HashAggregate") >= 4
+
+
+def test_vocab_topk_is_partial_agg_plus_take_ordered(spark):
+    """vocab_topk must be two-phase (partial_count before the exchange, so
+    the shuffle moves one row per distinct token per partition, not one row
+    per token OCCURRENCE) and the top-200 must be TakeOrderedAndProject —
+    never a global Sort over the vocabulary."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_vocab_topk(spark, SF)
+    plan = plan_of(df)
+    tree = tree_of(df)
+    assert "TakeOrderedAndProject" in tree
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert tree.count("Sort") == 0  # no global sort node
+
+
+def test_minhash_pairs_reuse_cached_signatures(spark):
+    """The signature relation feeds four plan subtrees (band join left/right
+    + two re-attach joins); minhash_candidate_pairs persists it, so the
+    executed plan must read the signatures from the cache (InMemoryRelation),
+    not recompute the Arrow UDF per subtree."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_minhash_dup_pairs(spark, SF)
+    df.count()  # materialize (fills the cache, executes the real plan)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan

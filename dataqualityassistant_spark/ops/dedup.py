@@ -303,6 +303,56 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     )
 
 
+def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFrame,
+                          id_col: str = "doc_id", bands: int = 16,
+                          threshold: float = 0.8,
+                          max_bucket_size: int | None = None) -> DataFrame:
+    """Incremental dedup: candidate pairs of NEW documents against an
+    EXISTING corpus's signatures (continuous-crawl shape — each incoming
+    batch joins the persisted signature store instead of re-self-joining
+    the whole corpus).
+
+    Returns (new_id, corpus_id, jaccard_est). The join is banded exactly like
+    the self-join variant — only same-bucket cross pairs meet — but the two
+    sides are different relations, so at 10^12 corpus docs the corpus side
+    should be a bucketed/partitioned signature table (write once, co-located
+    join forever). ``max_bucket_size`` caps CORPUS-side buckets (hot template
+    buckets make every matching new doc quadratic)."""
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        rpb = F.floor(F.size("signature") / bands).cast("int")
+        return (
+            sigs.where(F.col("signature").isNotNull())
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+                rpb.alias("rpb"),
+                F.col("signature"),
+            )
+            .select(
+                out_id, "band",
+                F.xxhash64(F.slice("signature", F.col("band") * F.col("rpb") + 1, F.col("rpb"))).alias("bh"),
+            )
+        )
+
+    new_b = banded(new_signatures, "new_id")
+    corpus_b = banded(corpus_signatures, "corpus_id")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bh")
+        corpus_b = (corpus_b.withColumn("__bsize", F.count(F.lit(1)).over(w))
+                    .where(F.col("__bsize") <= max_bucket_size)
+                    .drop("__bsize"))
+    cand = new_b.join(corpus_b, ["band", "bh"]).select("new_id", "corpus_id").distinct()
+    new_s = new_signatures.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_a"))
+    cor_s = corpus_signatures.select(F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b"))
+    pairs = cand.join(new_s, "new_id").join(cor_s, "corpus_id")
+    agreement = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = agreement / F.size("sig_a")
+    return (pairs.withColumn("jaccard_est", est.cast("double"))
+            .where(F.col("jaccard_est") >= threshold)
+            .select("new_id", "corpus_id", "jaccard_est"))
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash_one(text: str | None) -> int | None:

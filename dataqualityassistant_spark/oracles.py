@@ -174,20 +174,25 @@ def _fingerprints_expected(sf_dir: str) -> list[tuple]:
     return rows
 
 
-def _ann_candidate_ids(sf_dir: str, n_planes: int = 8, seed: int = 42) -> list[int]:
-    """vec_ids landing in the query's probe buckets — replicates
-    ``lsh_bucket_ids`` (executor numpy matmul on float32 vectors) +
-    ``query_bucket`` multiprobe exactly, serially."""
+def _ann_candidate_ids(sf_dir: str, n_planes: int = 8, seed: int = 42,
+                       n_tables: int = 1) -> list[int]:
+    """vec_ids landing in the query's probe buckets in ANY of the
+    ``n_tables`` independent tables — replicates ``lsh_bucket_ids``
+    (executor numpy matmul on float32 vectors) + ``query_bucket`` multiprobe
+    exactly, serially."""
     embs = _embeddings(sf_dir)
     q = next(e for i, e in embs if i == 0)
-    probes = set(query_bucket(list(q), n_planes, seed, multiprobe=True))
     valid = [(i, e) for i, e in embs if e is not None]
     m = np.array([e for _, e in valid], dtype=np.float32)
-    planes = _planes(m.shape[1], n_planes, seed)
-    signs = (m @ planes) > 0
     weights = (1 << np.arange(n_planes)).astype(np.int64)
-    b = signs @ weights
-    return [i for (i, _), bb in zip(valid, b) if int(bb) in probes]
+    hit: set[int] = set()
+    for t in range(n_tables):
+        probes = set(query_bucket(list(q), n_planes, seed + t, multiprobe=True))
+        planes = _planes(m.shape[1], n_planes, seed + t)
+        signs = (m @ planes) > 0
+        b = signs @ weights
+        hit.update(i for (i, _), bb in zip(valid, b) if int(bb) in probes)
+    return sorted(hit)
 
 
 # --------------------------------------------------------------- public API
@@ -195,7 +200,7 @@ def _ann_candidate_ids(sf_dir: str, n_planes: int = 8, seed: int = 42) -> list[i
 @lru_cache(maxsize=4)
 def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     """Oracle SQL (literal expected results) for the six non-SQL queries."""
-    ann_ids = _ann_candidate_ids(sf_dir)
+    ann_ids = _ann_candidate_ids(sf_dir, n_tables=2)
     in_list = ", ".join(str(i) for i in sorted(ann_ids)) or "-1"
     return {
         "minhash_dup_pairs": values_sql(

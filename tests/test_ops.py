@@ -370,3 +370,20 @@ def test_minhash_incremental_against_corpus(spark, docs):
     pairs = {(a, b) for a, b in zip(got["new_id"], got["corpus_id"])}
     assert (100, 1) in pairs and (100, 2) in pairs  # NEAR matches both copies of BASE
     assert not any(n == 101 for n, _ in pairs)      # novel doc matches nothing
+
+
+def test_ann_multitable_recall(spark):
+    """Multi-table LSH is the recall lever: on the sf0.01 embeddings
+    (near-uniform vectors — the hard case) mean recall@10 vs the exhaustive
+    top-k climbs 0.22 (1 table) → 0.49 (4) → 0.63 (6) → 0.73 (8 tables,
+    8 planes), while only the probed buckets are scanned. Deterministic
+    (fixed data + seeds); assert the 6-table point."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    recalls = []
+    for qid in [0, 7, 42, 99, 123, 200, 333, 444]:
+        exact = {r["vec_id"] for r in cosine_topk(emb, vecs[qid], k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  ann_topk_lsh(emb, vecs[qid], k=10, n_planes=8, n_tables=6).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

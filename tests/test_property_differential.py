@@ -69,3 +69,45 @@ def test_engine_matches_oracle(spark, s_vals, v_vals, exp):
     assert got["result"]["unexpected_count"] == want["unexpected_count"], (etype, kwargs, s_vals, v_vals)
     assert got["result"]["unexpected_percent"] == pytest.approx(want["unexpected_percent"])
     assert got["success"] == want["success"]
+
+
+# ------------------------------------------------------- cluster closure
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30)),
+    min_size=1, max_size=40,
+)
+
+
+def _union_find_components(edges):
+    """Independent pure-Python oracle: classic union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy)
+def test_dedup_clusters_match_union_find(spark, edges):
+    """dedup_clusters (iterative Spark min-label propagation) must equal a
+    union-find computed independently on the same random edge list —
+    including self-loops, duplicate edges, reversed duplicates, chains."""
+    from dataqualityassistant_spark.ops.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    want = _union_find_components(edges)
+    assert got == want

@@ -75,12 +75,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-             .distinct()
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    # undirected: propagate both ways
-    both = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = (edges.select(F.col("src").alias("node"))
-              .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    # undirected (propagate both ways), persisted PRE-PARTITIONED on the
+    # join key: the cached partitioning satisfies every iteration's join
+    # distribution, so each round shuffles only the (much smaller, changing)
+    # label relation — the static edge relation never re-exchanges.
+    both = (edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .repartition(F.col("src"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (both.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node"))
               .persist(StorageLevel.MEMORY_AND_DISK))
@@ -102,7 +105,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         old.unpersist()
         if changed == 0:
             break
-    edges.unpersist()
+    both.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

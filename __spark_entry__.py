@@ -144,6 +144,13 @@ def q_exp_mean_between(spark, sf_dir):
                       {"column": "l_quantity", "min_value": 10.0, "max_value": 40.0})
 
 
+def q_exp_increasing_value(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "events"),
+                      "expect_column_values_to_be_increasing",
+                      {"column": "value", "order_by": ["ts", "event_id"],
+                       "partition_by": ["user_id"], "mostly": 0.3})
+
+
 def q_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb, threshold=0.5, exhaustive=True)
@@ -417,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_fk_membership": q_exp_fk_membership,
         "exp_mean_between": q_exp_mean_between,
         "exp_json_parseable": q_exp_json_parseable,
+        "exp_increasing_value": q_exp_increasing_value,
         "embedding_near_dups": q_embedding_near_dups,
         "suite_documents": q_suite_documents,
         "word_stats": q_word_stats,
@@ -480,6 +488,10 @@ def oracle_sql() -> dict[str, str]:
         "exp_mean_between": _metric_sql(
             "lineitem",
             "CASE WHEN AVG(l_quantity) BETWEEN 10.0 AND 40.0 THEN 0 ELSE COUNT(*) END"),
+        "exp_increasing_value": _metric_sql(
+            "(SELECT value, LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)",
+            "SUM(CASE WHEN value IS NOT NULL AND prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)",
+            0.3),
         "embedding_near_dups": """
             SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
                    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

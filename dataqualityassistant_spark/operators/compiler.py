@@ -89,6 +89,10 @@ class CompiledExpectation:
     observed_value_key: str | None = None
     # set for join-backed expectations (resolved by the engine, not the agg)
     ref_table: str | None = None
+    # True when unexpected_mask contains a WINDOW expression: the engine must
+    # project the mask to a boolean column before the fused aggregate (window
+    # functions are legal in projections, not inside aggregates/filters)
+    pre_project: bool = False
 
     def agg_exprs(self, prefix: str) -> list[Column]:
         return [expr.alias(f"{prefix}_{name}") for name, expr in self._agg.items()]
@@ -417,6 +421,43 @@ def _c_max_between(kwargs):
 def _c_distinct_between(kwargs):
     return _agg_stat("expect_column_distinct_count_to_be_between", kwargs,
                      F.count_distinct(F.col(kwargs["column"])))
+
+
+@register_expectation("expect_column_values_to_be_increasing")
+def _c_increasing(kwargs):
+    """GE-style monotonicity, made distribution-sane: a distributed table
+    has no row order, so ``order_by`` is REQUIRED (list or single column;
+    make it total — e.g. (ts, id) — or lag is nondeterministic) and
+    ``partition_by`` scopes the sequence (e.g. per user). ``strictly=True``
+    demands strict increase. A row violates when its own value and its
+    predecessor's are both non-null and out of order; nulls pass (repo-wide
+    null semantics). The mask is a WINDOW expression → ``pre_project`` makes
+    the engine project it to a boolean before the fused aggregate, keeping
+    the suite single-scan (projection + agg = still one pass over the data;
+    the window adds a sort within ``partition_by`` groups — supply
+    partition_by at scale or the sort is global)."""
+    from pyspark.sql import Window
+
+    column = kwargs["column"]
+    order_by = kwargs.get("order_by")
+    if not order_by:
+        raise ValueError(
+            "expect_column_values_to_be_increasing requires 'order_by' "
+            "(distributed tables have no intrinsic row order)")
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    partition_by = kwargs.get("partition_by") or []
+    partition_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = Window.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(
+        *[F.col(c) for c in order_cols])
+    c = F.col(column)
+    prev = F.lag(c).over(w)
+    bad = (c <= prev) if kwargs.get("strictly") else (c < prev)
+    mask = c.isNotNull() & prev.isNotNull() & bad
+    ce = _simple("expect_column_values_to_be_increasing", kwargs, mask, column)
+    ce.pre_project = True
+    ce._agg = {}          # engine builds the agg from the projected mask
+    ce._count = lambda row, p: row[f"{p}_u"] or 0
+    return ce
 
 
 @register_expectation("expect_column_values_to_be_json_parseable")

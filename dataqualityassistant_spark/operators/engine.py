@@ -196,11 +196,33 @@ class SuiteEngine:
         Exposed for plan-shape tests (the whole point of the engine is that
         N expectations never cost N scans)."""
         agg_cols: list[Column] = [F.count(F.lit(1)).alias("__element_count")]
+        pre_cols: list[Column] = []
         for i, (_, ces) in enumerate(compiled):
             for j, ce in enumerate(ces):
-                if ce.error is None:
-                    agg_cols.extend(ce.agg_exprs(f"r{i}e{j}"))
+                if ce.error is not None:
+                    continue
+                prefix = f"r{i}e{j}"
+                if ce.pre_project and ce.unexpected_mask is not None:
+                    # window-containing mask: legal in a projection, not in
+                    # an aggregate — project to a boolean first. Still ONE
+                    # scan (project → agg in the same job).
+                    alias = f"__pp_{prefix}"
+                    pre_cols.append(ce.unexpected_mask.alias(alias))
+                    agg_cols.append(
+                        F.sum(F.when(F.col(alias), 1).otherwise(0)).alias(f"{prefix}_u"))
+                else:
+                    agg_cols.extend(ce.agg_exprs(prefix))
+        if pre_cols:
+            df = df.select("*", *pre_cols)
         return df.agg(*agg_cols)
+
+    @staticmethod
+    def _mask_filtered(df: DataFrame, ce: CompiledExpectation) -> DataFrame:
+        """Rows violating ce — window-safe (window expressions may not
+        appear in WHERE; project them first)."""
+        if ce.pre_project:
+            return df.select("*", ce.unexpected_mask.alias("__ppm")).filter(F.col("__ppm")).drop("__ppm")
+        return df.filter(ce.unexpected_mask)
 
     # -- per-expectation finalization --------------------------------------
 
@@ -267,7 +289,7 @@ class SuiteEngine:
             if ce.values_kind == "rows":
                 vals = [
                     r[0]
-                    for r in df.filter(ce.unexpected_mask)
+                    for r in self._mask_filtered(df, ce)
                     .select(ce.column)
                     .limit(self.max_unexpected_values)
                     .collect()
@@ -308,7 +330,7 @@ class SuiteEngine:
     def _fetch_samples(self, df: DataFrame, ce: CompiledExpectation) -> list[dict]:
         dfp = self._sample_projection(df)
         if ce.samples_kind == "mask" and ce.unexpected_mask is not None:
-            rows = dfp.filter(ce.unexpected_mask).limit(self.max_sample_rows).collect()
+            rows = self._mask_filtered(dfp, ce).limit(self.max_sample_rows).collect()
             return [_row_to_sample(r) for r in rows]
         if ce.samples_kind == "dups":
             # reference :383-395: ≤5 dup values × ≤2 rows each, cap 5 total;

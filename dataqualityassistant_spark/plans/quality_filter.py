@@ -173,7 +173,10 @@ class QualityFilterPipeline:
         out = []
         for rule, ces in engine.compile_rules(self.rules):
             for ce in ces:
-                if ce.unexpected_mask is not None:
+                # pre_project masks contain window expressions — legal in
+                # score()'s projection but not inside observe() aggregates;
+                # such rules are evaluated by the engine path instead
+                if ce.unexpected_mask is not None and not ce.pre_project:
                     out.append((rule.name, ce.expectation_type, ce.kwargs, ce.mostly, ce.unexpected_mask))
         return out
 

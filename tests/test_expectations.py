@@ -410,3 +410,36 @@ def test_reference_parity_error_dict_exact_shape(spark):
         "sample_rows": [],
         "kwargs": kwargs,
     }
+
+
+def test_increasing_with_order_and_partition(spark):
+    df = mk_df(spark, [
+        (1, 1, 10.0), (1, 2, 12.0), (1, 3, 11.0),   # 11 < 12 -> 1 violation
+        (2, 1, 5.0), (2, 2, 5.0), (2, 3, None),     # ties pass (non-strict); null passes
+    ], "u: int, t: int, v: double")
+    r = single(df, "expect_column_values_to_be_increasing",
+               {"column": "v", "order_by": ["t"], "partition_by": ["u"]})
+    assert r["result"]["unexpected_count"] == 1
+    # strict mode: the (5.0, 5.0) tie now violates too
+    r2 = single(df, "expect_column_values_to_be_increasing",
+                {"column": "v", "order_by": ["t"], "partition_by": ["u"], "strictly": True})
+    assert r2["result"]["unexpected_count"] == 2
+    # missing order_by -> errored expectation (reference error isolation)
+    r3 = single(df, "expect_column_values_to_be_increasing", {"column": "v"})
+    assert r3["success"] is False and "order_by" in r3["error"]
+
+
+def test_increasing_rides_single_scan_with_other_expectations(spark):
+    """The window mask is pre-projected; the suite must still evaluate all
+    expectations (window + plain) in ONE aggregate job with correct counts."""
+    df = mk_df(spark, [(1, 1, 3.0), (1, 2, 2.0), (1, 3, None)], "u: int, t: int, v: double")
+    rule = Rule(id=1, name="r", rule_config=[
+        {"expectation_type": "expect_column_values_to_be_increasing",
+         "kwargs": {"column": "v", "order_by": ["t"], "partition_by": ["u"]}},
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "v"}},
+    ])
+    suite = run_suite(df, [rule])
+    rs = suite["results"][0]["results"]
+    assert rs[0]["result"]["unexpected_count"] == 1  # 2.0 < 3.0
+    assert rs[1]["result"]["unexpected_count"] == 1  # the null

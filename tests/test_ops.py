@@ -387,3 +387,16 @@ def test_ann_multitable_recall(spark):
                   ann_topk_lsh(emb, vecs[qid], k=10, n_planes=8, n_tables=6).collect()}
         recalls.append(len(exact & approx) / 10)
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_dedup_clusters_empty_and_selfloop_edges(spark):
+    from dataqualityassistant_spark.ops.dedup import dedup_clusters, drop_near_duplicates
+
+    empty = spark.createDataFrame([], "id_a: long, id_b: long")
+    assert dedup_clusters(empty).count() == 0
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id: long, text: string")
+    assert drop_near_duplicates(docs, empty).count() == 2  # nothing dropped
+
+    selfloops = spark.createDataFrame([(5, 5), (5, 6)], "id_a: long, id_b: long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(selfloops).collect()}
+    assert got == {5: 5, 6: 5}

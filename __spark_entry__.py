@@ -151,6 +151,12 @@ def q_exp_increasing_value(spark, sf_dir):
                        "partition_by": ["user_id"], "mostly": 0.3})
 
 
+def q_exp_zscore_quantity(spark, sf_dir):
+    return _metric_df(spark, _t(spark, sf_dir, "lineitem"),
+                      "expect_column_value_z_scores_to_be_less_than",
+                      {"column": "l_quantity", "threshold": 1.5, "mostly": 0.8})
+
+
 def q_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb, threshold=0.5, exhaustive=True)
@@ -393,6 +399,20 @@ def q_perplexity_docs(spark, sf_dir):
     return docs.select("doc_id", F.nanvl(ppl, F.lit(None).cast("double")).alias("log_ppl"))
 
 
+def q_lang_distribution(spark, sf_dir):
+    """Per-detected-language corpus distribution — a groupBy over a UDF
+    column (two-phase hash agg on the Arrow stage's output). avg(n_chars) is
+    exact float64 at these magnitudes, so the serial literal oracle matches
+    bit-for-bit."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn("detected_lang", langid_udf(F.col("text"))["lang"])
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.avg("n_chars").alias("avg_chars"))
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -425,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_mean_between": q_exp_mean_between,
         "exp_json_parseable": q_exp_json_parseable,
         "exp_increasing_value": q_exp_increasing_value,
+        "exp_zscore_quantity": q_exp_zscore_quantity,
         "embedding_near_dups": q_embedding_near_dups,
         "suite_documents": q_suite_documents,
         "word_stats": q_word_stats,
@@ -445,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "langid_docs": q_langid_docs,
+        "lang_distribution": q_lang_distribution,
         "perplexity_docs": q_perplexity_docs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "fingerprints": q_fingerprints,
@@ -488,6 +510,13 @@ def oracle_sql() -> dict[str, str]:
         "exp_mean_between": _metric_sql(
             "lineitem",
             "CASE WHEN AVG(l_quantity) BETWEEN 10.0 AND 40.0 THEN 0 ELSE COUNT(*) END"),
+        "exp_zscore_quantity": _metric_sql(
+            "(SELECT l_quantity,"
+            " (SELECT AVG(l_quantity) FROM lineitem) AS mu,"
+            " (SELECT STDDEV(l_quantity) FROM lineitem) AS sigma"
+            " FROM lineitem)",
+            "SUM(CASE WHEN l_quantity IS NOT NULL AND ABS((l_quantity - mu) / sigma) >= 1.5 THEN 1 ELSE 0 END)",
+            0.8),
         "exp_increasing_value": _metric_sql(
             "(SELECT value, LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)",
             "SUM(CASE WHEN value IS NOT NULL AND prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)",

@@ -117,7 +117,16 @@ def main(argv: list[str] | None = None) -> int:
         out = profile_table(df)
         if args.suggest:
             out["suggestions"] = suggest_rules(df)
-        print(json.dumps(out, default=str)[:20000])
+        # structured trimming, NOT a byte-slice of the serialized JSON (a
+        # slice can cut mid-string and emit unparseable output): cap the
+        # sample rows and truncate long cell values, keeping the JSON valid
+        if isinstance(out.get("sample_data"), list):
+            out["sample_data"] = [
+                {k: (v[:200] + "…" if isinstance(v, str) and len(v) > 200 else v)
+                 for k, v in row.items()}
+                for row in out["sample_data"][:10]
+            ]
+        print(json.dumps(out, default=str))
 
     elif args.cmd == "gen-pages":
         from dataqualityassistant_spark.fixtures import write_pages_fixture

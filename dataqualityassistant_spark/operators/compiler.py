@@ -460,6 +460,34 @@ def _c_increasing(kwargs):
     return ce
 
 
+@register_expectation("expect_column_value_z_scores_to_be_less_than")
+def _c_zscore(kwargs):
+    """GE-style z-score bound: |x − μ|/σ < threshold (``double_sided=False``
+    bounds only (x − μ)/σ). Inherently TWO-pass — μ and σ must be known
+    before any row can be judged — so μ/σ/count ride the suite's single
+    fused aggregate and the engine runs ONE extra counting scan with the
+    resolved literals (same pattern as the FK anti-join expectation; a
+    global window would move all rows to a single partition at scale,
+    rejected). σ = 0 or null (constant/empty column) ⇒ no violations."""
+    column = kwargs["column"]
+    t = float(kwargs["threshold"])
+    c = F.col(column)
+    ce = CompiledExpectation(
+        expectation_type="expect_column_value_z_scores_to_be_less_than",
+        kwargs=kwargs,
+        mostly=_mostly(kwargs),
+        unexpected_mask=None,       # resolved by the engine from μ/σ
+        column=column,
+        values_kind="rows",
+        samples_kind="mask",
+    )
+    ce._agg = {"mu": F.avg(c), "sigma": F.stddev(c)}
+    ce._count = lambda row, p: 0    # engine overrides via the literal-mask job
+    ce.zscore_threshold = t
+    ce.zscore_double_sided = bool(kwargs.get("double_sided", True))
+    return ce
+
+
 @register_expectation("expect_column_values_to_be_json_parseable")
 def _c_json_parseable(kwargs):
     # extended op for semi-structured columns (e.g. a props payload):

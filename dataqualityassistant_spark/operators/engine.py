@@ -256,6 +256,20 @@ class SuiteEngine:
                     )
                 )
                 unexpected_count = orphans.count()
+            elif getattr(ce, "zscore_threshold", None) is not None:
+                # two-pass by nature: μ/σ rode the fused aggregate; one extra
+                # scan counts violations against the resolved literals (and
+                # installs the literal mask so sample fetching works)
+                mu = agg_row.get(f"{prefix}_mu")
+                sigma = agg_row.get(f"{prefix}_sigma")
+                if mu is None or sigma is None or float(sigma) == 0.0:
+                    unexpected_count = 0  # constant/empty column: no z-scores
+                else:
+                    z = (F.col(ce.column) - F.lit(float(mu))) / F.lit(float(sigma))
+                    t = float(ce.zscore_threshold)
+                    bad = (F.abs(z) >= t) if ce.zscore_double_sided else (z >= t)
+                    ce.unexpected_mask = F.col(ce.column).isNotNull() & bad
+                    unexpected_count = df.filter(ce.unexpected_mask).count()
             elif ce.expectation_type == "expect_column_values_to_be_of_type":
                 declared = ce.kwargs.get("type_") or ce.kwargs.get("type", "")
                 actual = schema_types.get(ce.column, "")

@@ -158,6 +158,28 @@ def _langid_expected(sf_dir: str) -> list[tuple]:
     return [(i, classify_text(t)[0]) for i, t in _docs(sf_dir)]
 
 
+@lru_cache(maxsize=4)
+def _docs_chars(sf_dir: str) -> tuple[tuple[str | None, int | None], ...]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "n_chars"])
+    return tuple(zip(t.column("text").to_pylist(), t.column("n_chars").to_pylist()))
+
+
+def _lang_distribution_expected(sf_dir: str) -> list[tuple]:
+    """(detected_lang, n_docs, avg_chars) — aggregation over the shared
+    classifier. avg over n_chars is exact in float64 regardless of summation
+    order (integers ≤ 5000, sums ≪ 2^53), so the serial Python mean equals
+    Spark's distributed avg bit-for-bit."""
+    groups: dict[str, list[int | None]] = defaultdict(list)
+    for text, n_chars in _docs_chars(sf_dir):
+        groups[classify_text(text)[0]].append(n_chars)
+    rows = []
+    for lang in sorted(groups):
+        chars = [c for c in groups[lang] if c is not None]
+        avg = (float(sum(chars)) / float(len(chars))) if chars else None
+        rows.append((lang, len(groups[lang]), avg))
+    return rows
+
+
 def _perplexity_expected(sf_dir: str) -> list[tuple]:
     rows = []
     for i, t in _docs(sf_dir):
@@ -225,6 +247,11 @@ def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             _langid_expected(sf_dir),
             ["doc_id", "detected_lang"],
             [_sql_bigint, _sql_varchar],
+        ),
+        "lang_distribution": values_sql(
+            _lang_distribution_expected(sf_dir),
+            ["detected_lang", "n_docs", "avg_chars"],
+            [_sql_varchar, _sql_bigint, _sql_double],
         ),
         "perplexity_docs": values_sql(
             _perplexity_expected(sf_dir),

@@ -1,0 +1,55 @@
+"""CLI subprocess tests: the `python -m dataqualityassistant_spark.cli`
+surface (the spark-submit driver script body) driven as real subprocesses —
+validate with a rules JSON + markdown report, and profile with suggestions."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def run_cli(args, timeout=300):
+    return subprocess.run(
+        [sys.executable, "-m", "dataqualityassistant_spark.cli",
+         "--cores", "4", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=timeout)
+
+
+def test_cli_validate_writes_report(tmp_path):
+    rules = [{
+        "id": 1, "name": "docs_basic", "rule_config": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "text", "mostly": 0.9}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "lang", "value_set": ["en", "de", "fr", "es"],
+                        "mostly": 0.8}},
+        ],
+    }]
+    rules_file = tmp_path / "rules.json"
+    rules_file.write_text(json.dumps(rules))
+    report = tmp_path / "report.md"
+    res = run_cli(["validate", "--input", f"{SF_DIR}/documents.parquet",
+                   "--rules", str(rules_file), "--table-name", "documents",
+                   "--report", str(report)])
+    assert res.returncode == 0, res.stderr[-2000:]
+    text = report.read_text()
+    assert "docs_basic" in text and "expect_column_values_to_not_be_null" in text
+
+
+def test_cli_profile_suggests(tmp_path):
+    res = run_cli(["profile", "--input", f"{SF_DIR}/documents.parquet", "--suggest"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert {"columns", "statistics", "sample_data", "suggestions"} <= set(out)
+    assert {c["column_name"] for c in out["columns"]} == {
+        "doc_id", "text", "lang", "source", "n_chars"}
+    assert len(out["suggestions"]) >= 1
+    # structured trimming keeps the JSON valid and the samples bounded
+    assert len(out["sample_data"]) <= 10
+    assert all(len(v) <= 201 for r in out["sample_data"]
+               for v in r.values() if isinstance(v, str))

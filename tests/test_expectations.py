@@ -443,3 +443,23 @@ def test_increasing_rides_single_scan_with_other_expectations(spark):
     rs = suite["results"][0]["results"]
     assert rs[0]["result"]["unexpected_count"] == 1  # 2.0 < 3.0
     assert rs[1]["result"]["unexpected_count"] == 1  # the null
+
+
+def test_zscore_two_pass(spark):
+    # values: nine at 10, one at 100 -> the outlier's |z| is ~3 with
+    # stddev(sample); threshold 2 flags exactly it; nulls pass
+    df = mk_df(spark, [(10.0,)] * 9 + [(100.0,), (None,)], "v: double")
+    r = single(df, "expect_column_value_z_scores_to_be_less_than",
+               {"column": "v", "threshold": 2.0})
+    assert r["result"]["unexpected_count"] == 1
+    assert r["result"]["unexpected_values"] == [100.0]
+    # one-sided: low outliers pass
+    df2 = mk_df(spark, [(10.0,)] * 9 + [(-100.0,)], "v: double")
+    r2 = single(df2, "expect_column_value_z_scores_to_be_less_than",
+                {"column": "v", "threshold": 2.0, "double_sided": False})
+    assert r2["result"]["unexpected_count"] == 0
+    # constant column: sigma 0 -> no violations (not a crash)
+    df3 = mk_df(spark, [(5.0,), (5.0,)], "v: double")
+    r3 = single(df3, "expect_column_value_z_scores_to_be_less_than",
+                {"column": "v", "threshold": 1.0})
+    assert r3["result"]["unexpected_count"] == 0 and r3["success"]

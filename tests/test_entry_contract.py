@@ -78,3 +78,17 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert df.schema is not None
+
+
+def test_fixture_oracles_degrade_gracefully_without_testdata():
+    """If the driver evaluates oracle_sql() somewhere without the fixture
+    tables, the literal oracles must drop out (rows-only fallback) instead
+    of raising and voiding every oracle."""
+    from dataqualityassistant_spark.oracles import fixture_oracle_sql
+
+    assert fixture_oracle_sql("/nonexistent/sfX") == {}
+    # and with real testdata they cover exactly the non-SQL queries
+    got = fixture_oracle_sql(SF_DIR)
+    assert set(got) == {"minhash_dup_pairs", "simhash_dup_pairs", "langid_docs",
+                        "perplexity_docs", "fingerprints", "ann_lsh_topk",
+                        "lang_distribution"}

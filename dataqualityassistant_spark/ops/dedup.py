@@ -51,23 +51,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # -------------------------------------------------------------- clustering
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iterations: int = 50) -> DataFrame:
+                   max_iterations: int = 50, _stats: dict | None = None) -> DataFrame:
     """Connected components over candidate pairs → (doc_id, cluster_id).
 
     The missing last step of every dedup pipeline: MinHash/SimHash/embedding
     stages emit *pairs*; dropping rows needs *clusters* (transitive closure:
     a~b, b~c ⇒ {a,b,c} is one duplicate group) and a survivor per cluster.
 
-    Algorithm: iterative min-label propagation (the standard MapReduce/Spark
-    connected-components shape, cf. Kiveris et al. "Connected Components in
-    MapReduce and Beyond"): every node starts labeled with its own id; each
-    round pushes the smaller label across every edge both ways and keeps the
-    per-node min; converges in O(diameter) rounds — near-dup clusters are
-    dense, so diameter (and round count) is tiny in practice. Each round is
-    one shuffle keyed by node id over the EDGE relation only (never the full
-    corpus); labels persist between rounds and the loop stops when a round
-    changes nothing (one tiny count per round — the legitimate driver-side
-    part of an iterative algorithm).
+    Algorithm: iterative min-label propagation with pointer jumping (the
+    standard MapReduce/Spark connected-components shape, cf. Kiveris et al.
+    "Connected Components in MapReduce and Beyond"): every node starts
+    labeled with its own id; each round pushes the smaller label across
+    every edge both ways, keeps the per-node min, then shortcuts once via
+    label(label(v)) — valid because label(u) <= u always, so the jump only
+    ever lowers a label. Edge propagation alone needs O(diameter) rounds;
+    the jump makes long chains collapse in O(log diameter). Each round is
+    one shuffle keyed by node id over the EDGE relation only (never the
+    full corpus), and the loop stops when a round changes nothing (one tiny
+    count per round — the legitimate driver-side part of an iterative
+    algorithm).
+
+    Every round's result is ``localCheckpoint(eager=True)``-ed: the round
+    plan references the previous round's labels three times (propagate +
+    jump + change-detect), so without truncation the logical plan grows
+    exponentially and plan-tree generation alone OOMs the driver around
+    diameter ~20. Checkpoint blocks from superseded rounds are released by
+    Spark's ContextCleaner once the superseded DataFrame is garbage
+    collected. Raises a ``RuntimeWarning`` if ``max_iterations`` is
+    exhausted before convergence (labels returned anyway — they are a valid
+    partial merge, but clusters may still be split).
 
     ``cluster_id`` = min doc id in the component.
     """
@@ -86,26 +98,45 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels = (both.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node"))
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    labels.count()  # materialize before the loop
+              .localCheckpoint(eager=True))
+    converged = False
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         # candidate label per node = min(own, min over neighbors' labels)
         incoming = (both.join(labels.withColumnRenamed("node", "src"), "src")
                     .groupBy(F.col("dst").alias("node"))
                     .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(incoming, "node", "left")
-                      .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
-                      .persist(StorageLevel.MEMORY_AND_DISK))
+        propagated = (labels.join(incoming, "node", "left")
+                      .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label")))
+        # pointer jump: label(v) <- label(label(v)). Every label value is
+        # itself a node in the relation, so the lookup is a self-join; the
+        # left join + coalesce is belt-and-braces for the identity rows.
+        hop = propagated.select(F.col("node").alias("label"), F.col("label").alias("jump"))
+        new_labels = (propagated.join(hop, "label", "left")
+                      .select("node", F.least("label", F.coalesce("jump", "label")).alias("label"))
+                      .localCheckpoint(eager=True))
         changed = (new_labels.withColumnRenamed("label", "new_label")
                    .join(labels, "node")
                    .where(F.col("new_label") != F.col("label"))
                    .limit(1).count())
-        old = labels
         labels = new_labels
-        old.unpersist()
         if changed == 0:
+            converged = True
             break
     both.unpersist()
+    if _stats is not None:
+        _stats["rounds"] = rounds
+        _stats["converged"] = converged
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters did not converge within max_iterations={max_iterations}; "
+            "returned labels are a valid partial merge but some clusters may still "
+            "be split — raise max_iterations.",
+            RuntimeWarning,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

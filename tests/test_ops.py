@@ -356,6 +356,40 @@ def test_dedup_clusters_transitive_closure(spark):
     assert kept == [1, 10, 99]  # one survivor per cluster + untouched row
 
 
+def test_dedup_clusters_long_chain_logarithmic_rounds(spark):
+    """A 64-node chain is the adversarial diameter case: plain min-label
+    propagation needs 63 rounds (and, before the per-round localCheckpoint,
+    OOM'd the driver on plan-tree generation around diameter ~20). With
+    pointer jumping the chain must collapse in O(log n) rounds."""
+    from dataqualityassistant_spark.ops.dedup import dedup_clusters
+
+    n = 64
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a: long, id_b: long")
+    stats: dict = {}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(pairs, _stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["converged"]
+    assert stats["rounds"] <= 10, stats  # log2(64)=6 + convergence round slack
+
+
+def test_dedup_clusters_nonconvergence_warns(spark):
+    """Exhausting max_iterations must warn, not silently return split
+    clusters."""
+    import warnings
+
+    from dataqualityassistant_spark.ops.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(31)],
+                                  "id_a: long, id_b: long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup_clusters(pairs, max_iterations=1).collect()
+    assert any(issubclass(x.category, RuntimeWarning)
+               and "did not converge" in str(x.message) for x in w)
+
+
 def test_minhash_incremental_against_corpus(spark, docs):
     """Continuous-crawl shape: a new batch joins the persisted corpus
     signatures; its near-dups of corpus docs surface, novel docs don't."""

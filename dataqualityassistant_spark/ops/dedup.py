@@ -23,7 +23,7 @@ from functools import lru_cache
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -150,6 +150,31 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
     return df.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
 
 
+# --------------------------------------------------------------- skew guard
+
+#: default hot-bucket cap for every LSH-style candidate generator. A bucket
+#: of b rows emits O(b²) candidate pairs; 1000 bounds any single bucket to
+#: ~500k pairs — large enough that genuine near-dup groups at web scale pass
+#: (exact dedup upstream already collapsed true duplicates), small enough
+#: that a boilerplate-template bucket with 10^7 members can't go quadratic.
+#: Pass ``max_bucket_size=None`` to explicitly opt out.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
+def _drop_hot_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop every row belonging to a bucket with more than ``cap`` members.
+
+    Implemented as a two-phase count aggregate (map-side partial combine)
+    filtered down to the hot buckets, anti-joined back — cheaper at scale
+    than a window count, which would sort every partition by the bucket
+    keys. The hot relation has at most rows/cap entries by construction, so
+    AQE picks a broadcast anti-join in all but adversarial cases."""
+    hot = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+           .where(F.col("__n") > cap)
+           .select(*keys))
+    return df.join(hot, keys, "left_anti")
+
+
 # ------------------------------------------------------------------ minhash
 
 _MERSENNE = (1 << 61) - 1
@@ -242,7 +267,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                             bands: int = 16, threshold: float = 0.8,
-                            max_bucket_size: int | None = None,
+                            max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
                             n_hashes: int | None = None,
                             persist_signatures: bool = True) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows of
@@ -256,7 +281,8 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     into an O(n²) hot spot; ``max_bucket_size`` drops buckets above the cap
     (a bucket of identical boilerplate needs only pairwise linking through
     ANY one member, and exact dedup upstream catches true duplicates —
-    standard practice for web-scale MinHash).
+    standard practice for web-scale MinHash). The cap is ON by default
+    (:data:`DEFAULT_MAX_BUCKET_SIZE`); pass ``None`` to opt out explicitly.
 
     Pass ``n_hashes`` (the signature length the caller chose upstream) so the
     bands-vs-length sanity check runs driver-side with ZERO Spark jobs —
@@ -305,12 +331,7 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         )
     )
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bh")
-        banded = (
-            banded.withColumn("__bsize", F.count(F.lit(1)).over(w))
-            .where(F.col("__bsize") <= max_bucket_size)
-            .drop("__bsize")
-        )
+        banded = _drop_hot_buckets(banded, ["band", "bh"], max_bucket_size)
     # Candidate pairs dedupe on (id_a, id_b) ONLY — a distinct over the full
     # signature arrays would shuffle ~1 KB per row instead of 16 bytes.
     # Signatures re-attach afterwards via two joins against the (small
@@ -340,7 +361,7 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFrame,
                           id_col: str = "doc_id", bands: int = 16,
                           threshold: float = 0.8,
-                          max_bucket_size: int | None = None) -> DataFrame:
+                          max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """Incremental dedup: candidate pairs of NEW documents against an
     EXISTING corpus's signatures (continuous-crawl shape — each incoming
     batch joins the persisted signature store instead of re-self-joining
@@ -351,7 +372,8 @@ def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFram
     sides are different relations, so at 10^12 corpus docs the corpus side
     should be a bucketed/partitioned signature table (write once, co-located
     join forever). ``max_bucket_size`` caps CORPUS-side buckets (hot template
-    buckets make every matching new doc quadratic)."""
+    buckets make every matching new doc quadratic); ON by default, ``None``
+    to opt out."""
 
     def banded(sigs: DataFrame, out_id: str) -> DataFrame:
         rpb = F.floor(F.size("signature") / bands).cast("int")
@@ -372,10 +394,7 @@ def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFram
     new_b = banded(new_signatures, "new_id")
     corpus_b = banded(corpus_signatures, "corpus_id")
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bh")
-        corpus_b = (corpus_b.withColumn("__bsize", F.count(F.lit(1)).over(w))
-                    .where(F.col("__bsize") <= max_bucket_size)
-                    .drop("__bsize"))
+        corpus_b = _drop_hot_buckets(corpus_b, ["band", "bh"], max_bucket_size)
     cand = new_b.join(corpus_b, ["band", "bh"]).select("new_id", "corpus_id").distinct()
     new_s = new_signatures.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_a"))
     cor_s = corpus_signatures.select(F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b"))
@@ -428,7 +447,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
                             max_hamming: int = 3,
-                            max_bucket_size: int | None = None) -> DataFrame:
+                            max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4×16-bit
     chunk banding (pigeonhole: ≤3 differing bits leave ≥1 chunk equal),
     then an exact bit_count(xor) filter on the candidates.
@@ -437,7 +456,8 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
     before the self-join — at web scale a hot chunk value (e.g. all-zero
     chunks from short boilerplate docs, or just 10^12 rows / 65k chunk
     values) is an O(n²) bucket; the cap bounds every bucket's pair count,
-    same rationale as MinHash's ``max_bucket_size``."""
+    same rationale as MinHash's ``max_bucket_size``. ON by default
+    (:data:`DEFAULT_MAX_BUCKET_SIZE`); ``None`` opts out."""
     chunks = [F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
               for i in range(4)]
     t = hashes.where(F.col("simhash").isNotNull()).select(id_col, "simhash", *chunks)
@@ -445,10 +465,7 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
     for i in range(4):
         band = t.select(id_col, "simhash", F.col(f"c{i}").alias("k"))
         if max_bucket_size is not None:
-            w = Window.partitionBy("k")
-            band = (band.withColumn("__bsize", F.count(F.lit(1)).over(w))
-                    .where(F.col("__bsize") <= max_bucket_size)
-                    .drop("__bsize"))
+            band = _drop_hot_buckets(band, ["k"], max_bucket_size)
         l = band.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "k")
         r = band.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "k")
         cand = l.join(r, "k").where(F.col("id_a") < F.col("id_b")).drop("k")
@@ -502,12 +519,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .where(F.col("grams").isNotNull())
             .select(id_col, F.explode("grams").alias("g"))
         )
-        wdf = Window.partitionBy("g")
-        exploded = (
-            exploded.withColumn("__df", F.count(F.lit(1)).over(wdf))
-            .where(F.col("__df") <= max_shingle_df)
-            .drop("__df")
-        )
+        exploded = _drop_hot_buckets(exploded, ["g"], max_shingle_df)
         sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
         shingled = exploded.join(sizes, id_col)
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g")

@@ -16,10 +16,12 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+from .dedup import DEFAULT_MAX_BUCKET_SIZE, _drop_hot_buckets
 
 
 def _lit_vec(vec) -> "Column":
@@ -94,11 +96,22 @@ def query_bucket(query, n_planes: int = 12, seed: int = 42, multiprobe: bool = T
     return [base] + [base ^ (1 << i) for i in range(n_planes)]
 
 
+def derive_n_planes(approx_rows: int, target_bucket_rows: int | None = None) -> int:
+    """n_planes ≈ log2(rows / target bucket size): enough hyperplanes that
+    the EXPECTED bucket size stays at/below the target (e.g. 10^12 rows with
+    ~4k-row buckets → 28 planes). ``target_bucket_rows=None`` uses 4096."""
+    import math
+
+    target = target_bucket_rows if target_bucket_rows is not None else 4096
+    return max(1, math.ceil(math.log2(max(2.0, approx_rows / max(1, target)))))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              n_planes: int = 8, seed: int = 42,
                              exhaustive: bool = False,
-                             max_bucket_size: int | None = None) -> DataFrame:
+                             max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+                             approx_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
     Default path: LSH-bucketed — only same-bucket pairs are candidates
@@ -109,11 +122,19 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
     Sizing at scale: 2^n_planes must be large relative to corpus size or a
     bucket degenerates to O(n²) — pick ``n_planes ≈ log2(n_rows / target
-    bucket size)`` (e.g. 10^12 rows / ~4k-row buckets → 28 planes), and set
-    ``max_bucket_size`` as a hard skew guard: buckets above the cap (a giant
-    boilerplate embedding cluster) are dropped entirely, mirroring MinHash's
-    hot-bucket cap — exact dedup upstream catches true duplicates.
+    bucket size)`` (e.g. 10^12 rows / ~4k-row buckets → 28 planes). Pass
+    ``approx_rows`` (a cheap row-count estimate — catalog stats, not an
+    eager count) and that formula is applied for you: n_planes is raised to
+    ``ceil(log2(approx_rows / max_bucket_size))`` whenever the explicit
+    value would undershoot. ``max_bucket_size`` is the hard skew guard on
+    top: buckets above the cap (a giant boilerplate embedding cluster) are
+    dropped entirely, mirroring MinHash's hot-bucket cap — exact dedup
+    upstream catches true duplicates. The cap defaults ON
+    (:data:`~dataqualityassistant_spark.ops.dedup.DEFAULT_MAX_BUCKET_SIZE`);
+    ``None`` opts out.
     """
+    if approx_rows is not None and not exhaustive:
+        n_planes = max(n_planes, derive_n_planes(approx_rows, max_bucket_size))
     emb_norm = F.sqrt(
         F.aggregate(F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
                     F.lit(0.0), lambda a, x: a + x)
@@ -125,10 +146,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     else:
         keyed = lsh_bucket_ids(base, vec_col, n_planes, seed=seed, out_col="__b")
     if max_bucket_size is not None and not exhaustive:
-        w = Window.partitionBy("__b")
-        keyed = (keyed.withColumn("__bsize", F.count(F.lit(1)).over(w))
-                 .where(F.col("__bsize") <= max_bucket_size)
-                 .drop("__bsize"))
+        keyed = _drop_hot_buckets(keyed, ["__b"], max_bucket_size)
     a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                      F.col("__norm").alias("na"), "__b")
     b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),

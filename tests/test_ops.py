@@ -192,6 +192,61 @@ def test_minhash_bucket_cap_drops_hot_buckets(spark):
     assert not any(p[0] < 30 and p[1] < 30 for p in got)  # hot bucket dropped
 
 
+def test_skew_caps_on_by_default(spark):
+    """A naive caller with default args must survive a giant hot bucket:
+    1200 boilerplate docs share every LSH/SimHash bucket (> the default cap
+    of 1000), so with defaults their O(n²) pair explosion is dropped while
+    a small genuine dup pair elsewhere survives. This pins the round-2
+    verdict fix: caps were previously opt-in (None)."""
+    from dataqualityassistant_spark.ops.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+    assert DEFAULT_MAX_BUCKET_SIZE is not None
+    n_hot = DEFAULT_MAX_BUCKET_SIZE + 200
+    rows = [(i, "identical boilerplate template page " * 10) for i in range(n_hot)]
+    rows += [(n_hot + 1, BASE), (n_hot + 2, BASE)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    # minhash with DEFAULT args: bounded — the hot bucket contributes nothing
+    sigs = minhash_signatures(df, n_hashes=64, shingle=9)
+    mh = minhash_candidate_pairs(sigs, bands=16, threshold=0.9).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(mh["id_a"], mh["id_b"])}
+    assert (n_hot + 1, n_hot + 2) in got
+    assert len(got) < 100  # NOT the ~720k pairs the hot bucket would emit
+
+    # simhash with DEFAULT args: same bound
+    sh = simhash_candidate_pairs(simhash(df), max_hamming=2).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(sh["id_a"], sh["id_b"])}
+    assert (n_hot + 1, n_hot + 2) in got
+    assert len(got) < 100
+
+
+def test_embedding_default_cap_and_plane_derivation(spark):
+    """embedding_near_dup_pairs: the default max_bucket_size is the shared
+    cap constant, and the approx_rows hint raises n_planes per the docstring
+    formula."""
+    import inspect
+
+    from dataqualityassistant_spark.ops.dedup import DEFAULT_MAX_BUCKET_SIZE
+    from dataqualityassistant_spark.ops.similarity import (
+        derive_n_planes, embedding_near_dup_pairs)
+
+    sig = inspect.signature(embedding_near_dup_pairs)
+    assert sig.parameters["max_bucket_size"].default == DEFAULT_MAX_BUCKET_SIZE
+
+    assert derive_n_planes(10**12, 4096) == 28  # the docstring example
+    assert derive_n_planes(100, 1000) == 1      # tiny corpora floor at 1
+
+    # approx_rows raises the plane count → more buckets than the explicit
+    # n_planes=1 (2 buckets) could produce
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    few = embedding_near_dup_pairs(df, threshold=-1.0, n_planes=1).count()
+    many = embedding_near_dup_pairs(df, threshold=-1.0, n_planes=1,
+                                    approx_rows=64, max_bucket_size=4).count()
+    assert many < few  # more planes → smaller buckets → fewer candidates
+
+
 def test_ngram_jaccard_hot_shingle_filter(spark, docs):
     # with the boilerplate shingle dropped everywhere, real near-dups remain
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=10).toPandas()

@@ -8,8 +8,9 @@ over the same parquet views. Ops that SQL cannot express directly (minhash/
 simhash/LSH/langid/perplexity/fingerprints) get literal oracles: the
 expected output is recomputed serially driver-side (shared pure scoring
 functions + independent plain-Python bucketing logic, see ``oracles.py``)
-and rendered as DuckDB VALUES/IN literals, so all 30 queries are value-
-checked, not just row-counted.
+and rendered as DuckDB VALUES/IN literals, so ALL queries are value-checked
+(not just row-counted) — every ``queries()`` key has an ``oracle_sql()``
+entry.
 
 All computed columns are aliased identically on both sides; counts are cast
 to BIGINT (DuckDB SUM yields HUGEINT otherwise) and ratios computed as
@@ -518,7 +519,8 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CASE WHEN l_quantity IS NOT NULL AND ABS((l_quantity - mu) / sigma) >= 1.5 THEN 1 ELSE 0 END)",
             0.8),
         "exp_increasing_value": _metric_sql(
-            "(SELECT value, LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)",
+            "(SELECT value, LAG(value) OVER (PARTITION BY user_id"
+            " ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev FROM events)",
             "SUM(CASE WHEN value IS NOT NULL AND prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)",
             0.3),
         "embedding_near_dups": """

@@ -33,6 +33,11 @@ _STRIP_PATTERNS: list[tuple[str, str, str]] = [
     ("comment", r"<!--[\s\S]*?-->", " "),
     ("script", r"<[Ss][Cc][Rr][Ii][Pp][Tt]\b[^>]*>[\s\S]*?</[Ss][Cc][Rr][Ii][Pp][Tt]>", " "),
     ("style", r"<[Ss][Tt][Yy][Ll][Ee]\b[^>]*>[\s\S]*?</[Ss][Tt][Yy][Ll][Ee]>", " "),
+    # truncated pages (common in real WARC drops): an opening <script>/<style>
+    # with no closing tag left after the terminated strips above would leak
+    # its whole body as visible "text" — strip it to end-of-input instead
+    ("script_unterminated", r"<[Ss][Cc][Rr][Ii][Pp][Tt]\b[^>]*>[\s\S]*", " "),
+    ("style_unterminated", r"<[Ss][Tt][Yy][Ll][Ee]\b[^>]*>[\s\S]*", " "),
     ("tag", r"<[^>]*>", " "),
 ]
 _ENTITIES: list[tuple[str, str]] = [

@@ -447,8 +447,12 @@ def _c_increasing(kwargs):
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     partition_by = kwargs.get("partition_by") or []
     partition_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    # explicit NULLS FIRST: Spark's ascending default is nulls-first but
+    # SQL engines differ (DuckDB/Postgres default nulls-last), so pinning it
+    # keeps lag() predecessors identical across engines when order keys
+    # contain nulls
     w = Window.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(
-        *[F.col(c) for c in order_cols])
+        *[F.asc_nulls_first(c) for c in order_cols])
     c = F.col(column)
     prev = F.lag(c).over(w)
     bad = (c <= prev) if kwargs.get("strictly") else (c < prev)

@@ -293,9 +293,14 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     The signature relation feeds FOUR plan subtrees (band-join left/right +
     two re-attach joins); ``persist_signatures`` caches it MEMORY_AND_DISK so
     the signature UDF runs once, not four times (measured 6.5s → 2.0s at
-    sf0.1). On a real cluster with 10^12 rows, checkpoint signatures to
-    storage (write/read parquet) instead and pass the re-read frame here with
-    ``persist_signatures=False``."""
+    sf0.1). The cached relation outlives this call by design (the returned
+    plan references it); it is exposed as ``result.persisted_signatures`` so
+    long-lived sessions can ``result.persisted_signatures.unpersist()`` once
+    the pairs are materialized — otherwise each plan build leaks one cache
+    entry until session end. On a real cluster with 10^12 rows, checkpoint
+    signatures to storage (write/read parquet) instead and pass the re-read
+    frame here with ``persist_signatures=False``
+    (``persisted_signatures`` is then ``None``)."""
     if n_hashes is not None and n_hashes < bands:
         # rows_per_band would floor to 0 → every band hashes an empty slice
         # → all docs share one bucket → the join degenerates to all-pairs
@@ -351,11 +356,15 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     )
     agreement = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     est = agreement / F.size("sig_a")
-    return (
+    out = (
         pairs.withColumn("jaccard_est", est.cast("double"))
         .where(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+    # caller-side unpersist handle (see docstring) — plain attribute on the
+    # returned DataFrame, None when the caller persisted upstream themselves
+    out.persisted_signatures = signatures if persist_signatures else None
+    return out
 
 
 def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFrame,

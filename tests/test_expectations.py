@@ -429,6 +429,20 @@ def test_increasing_with_order_and_partition(spark):
     assert r3["success"] is False and "order_by" in r3["error"]
 
 
+def test_increasing_null_order_keys_sort_nulls_first(spark):
+    """Null order keys must sort NULLS FIRST on both engines (Spark's asc
+    default, now explicit; the DuckDB oracle says NULLS FIRST too). With
+    nulls-first the null-ts row (v=5) precedes (t=1, v=3): 3 < 5 is the one
+    violation; under nulls-last ordering there would be none — so this
+    asserts the pinned null placement, not just the count."""
+    df = mk_df(spark, [(1, None, 5.0), (1, 1, 3.0), (1, 2, 4.0)],
+               "u: int, t: int, v: double")
+    r = single(df, "expect_column_values_to_be_increasing",
+               {"column": "v", "order_by": ["t"], "partition_by": ["u"]})
+    assert r["result"]["unexpected_count"] == 1
+    assert r["result"]["unexpected_values"] == [3.0]
+
+
 def test_increasing_rides_single_scan_with_other_expectations(spark):
     """The window mask is pre-projected; the suite must still evaluate all
     expectations (window + plain) in ONE aggregate job with correct counts."""

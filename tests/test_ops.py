@@ -247,6 +247,22 @@ def test_embedding_default_cap_and_plane_derivation(spark):
     assert many < few  # more planes → smaller buckets → fewer candidates
 
 
+def test_minhash_exposes_persisted_signatures_handle(spark, docs):
+    """Long-lived sessions need a way to release the internally-persisted
+    signature relation; the result carries the handle (None when the caller
+    opted out of persisting)."""
+    sigs = minhash_signatures(docs, n_hashes=64, shingle=5)
+    pairs = minhash_candidate_pairs(sigs, bands=16, threshold=0.5)
+    pairs.count()
+    h = pairs.persisted_signatures
+    assert h is not None and h.storageLevel.useMemory
+    h.unpersist()
+    assert not h.storageLevel.useMemory
+    no_persist = minhash_candidate_pairs(sigs, bands=16, threshold=0.5,
+                                         persist_signatures=False)
+    assert no_persist.persisted_signatures is None
+
+
 def test_ngram_jaccard_hot_shingle_filter(spark, docs):
     # with the boilerplate shingle dropped everywhere, real near-dups remain
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=10).toPandas()

@@ -411,6 +411,11 @@ def test_html_extraction_byte_parity(spark):
         b"broken <unclosed and > stray < solo",
         b"ws\t\n  collapse\xc2\xa0nbsp-byte",
         b"invalid \xff\xfe bytes",
+        # truncated pages: unterminated script/style must NOT leak the block
+        # body as visible text (stripped to end-of-input)
+        b"before <script>var leaked = 'should not appear'",
+        b"before <style type=text/css>body { hidden: true }",
+        b"<script>closed()</script> kept <script>trunc",
         b"",
         None,
     ]
@@ -420,6 +425,10 @@ def test_html_extraction_byte_parity(spark):
     want = [html_to_text_python(s) for s in samples]
     for i, (g, w) in enumerate(zip(got, want)):
         assert g == w, f"row {i}: {samples[i]!r}\n jvm={g!r}\n  py={w!r}"
+    # not just parity: the truncated blocks' bodies must actually be gone
+    assert "leaked" not in want[-5] and want[-5] == "before"
+    assert "hidden" not in want[-4] and want[-4] == "before"
+    assert want[-3] == "kept"
 
 
 def test_pipeline_extracts_text_from_html_when_missing(spark):

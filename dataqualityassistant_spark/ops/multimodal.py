@@ -7,11 +7,19 @@ pattern. The Spark-side machinery here is real and tested: schemas,
 cross the Arrow boundary unless the stage actually decodes them, and
 partition-sized batching.
 
-The *decoders* are stubs: the image/audio libraries are not in this
-container, so ``decode_images`` uses a clearly-marked deterministic fake
-(payload-hash-derived dimensions + features) unless PIL is importable, and
-raises ``NotImplementedError`` when asked for a real decode without it.
-Swapping in a real decoder changes only the inner function — the Spark
+Decoder tiers for ``decode_images`` (first applicable wins):
+
+1. **PIL** — any format, when the library is importable (not in this
+   container);
+2. **pure-numpy BMP** — uncompressed 24/32-bit BMP parsed from the public
+   file-format spec (header fields + 4-byte-padded bottom-up pixel rows),
+   always available, produces REAL pixel-derived dimensions and features;
+3. **deterministic fake** (``allow_fake=True`` only) — payload-hash-derived
+   dimensions + features, clearly marked so nobody mistakes them for visual
+   content. With ``allow_fake=False`` undecodable payloads yield null
+   feature rows instead.
+
+Swapping in a richer decoder changes only the inner function — the Spark
 plumbing (schema, batching, pruning) is identical.
 """
 
@@ -84,23 +92,60 @@ def _pil_decode(payload: bytes, n_features: int) -> tuple[int, int, list[float]]
         return None
 
 
+def _bmp_decode(payload: bytes, n_features: int) -> tuple[int, int, list[float]] | None:
+    """Pure-numpy decoder for uncompressed (BI_RGB) 24/32-bit BMP — the one
+    image format parseable from public spec knowledge without an imaging
+    library. Layout: 14-byte file header ('BM', file size, pixel-data
+    offset) + BITMAPINFOHEADER (width, height signed — positive means
+    bottom-up rows — bpp, compression) + pixel rows padded to 4 bytes, BGR
+    channel order. Features = ``side×side`` block-mean grayscale grid
+    (gray = mean of B,G,R / 255), normalized to [0,1]. Returns None for
+    anything that isn't a well-formed uncompressed BMP."""
+    try:
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        off = int.from_bytes(payload[10:14], "little")
+        dib = int.from_bytes(payload[14:18], "little")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if dib < 40 or comp != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+            return None
+        bottom_up = height > 0
+        h = abs(height)
+        ch = bpp // 8
+        stride = ((width * ch + 3) // 4) * 4
+        if off < 14 + dib or len(payload) < off + stride * h:
+            return None
+        raw = np.frombuffer(payload, dtype=np.uint8, offset=off, count=stride * h)
+        px = raw.reshape(h, stride)[:, : width * ch].reshape(h, width, ch)
+        if bottom_up:
+            px = px[::-1]
+        gray = px[:, :, :3].astype(np.float32).mean(axis=2) / np.float32(255.0)
+        side = max(int(n_features ** 0.5), 1)
+        ys = np.linspace(0, h, side + 1).astype(int)
+        xs = np.linspace(0, width, side + 1).astype(int)
+        feats = [float(gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                           xs[j]:max(xs[j + 1], xs[j] + 1)].mean())
+                 for i in range(side) for j in range(side)]
+        return int(width), int(h), feats[:n_features]
+    except Exception:
+        return None
+
+
 def decode_images(df: DataFrame, n_features: int = 16, allow_fake: bool = True) -> DataFrame:
     """media table → (media_id, width, height, features) via mapInPandas.
 
-    Uses a real PIL decode when the library is importable; otherwise the
-    clearly-marked deterministic fake (this container has no imaging libs),
-    unless ``allow_fake=False`` in which case it refuses rather than return
-    fabricated features.
+    Tiered decode per payload: PIL when importable (any format) → pure-numpy
+    uncompressed BMP (always available, real pixels) → deterministic fake.
+    With ``allow_fake=False`` the fake tier is disabled and undecodable
+    payloads come back as null feature rows instead of fabricated ones.
 
     Column pruning happens HERE, not in Catalyst: the iterator receives only
     (media_id, payload) because we select them explicitly first — a binary
     column that isn't selected is never read from parquet or shipped through
     Arrow."""
-    if not _HAS_PIL and not allow_fake:
-        raise NotImplementedError(
-            "real image decode requires an imaging library (PIL) not present "
-            "in this environment; pass allow_fake=True for the deterministic stub"
-        )
     use_pil = _HAS_PIL
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -110,12 +155,15 @@ def decode_images(df: DataFrame, n_features: int = 16, allow_fake: bool = True) 
                 if payload is None:
                     rows.append((mid, None, None, None))
                     continue
-                decoded = _pil_decode(bytes(payload), n_features) if use_pil else None
+                raw = bytes(payload)
+                decoded = _pil_decode(raw, n_features) if use_pil else None
                 if decoded is None:
-                    if use_pil and not allow_fake:
+                    decoded = _bmp_decode(raw, n_features)
+                if decoded is None:
+                    if not allow_fake:
                         rows.append((mid, None, None, None))  # undecodable, no fake
                         continue
-                    decoded = _fake_decode(bytes(payload), n_features)
+                    decoded = _fake_decode(raw, n_features)
                 rows.append((mid, *decoded))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "features"])
 

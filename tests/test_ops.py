@@ -382,10 +382,10 @@ def _tiny_bmp(w=3, h=2, color=(255, 0, 0)) -> bytes:
     return header + pixels
 
 
-def test_multimodal_real_decode_or_refusal(spark):
-    """Keeps the real `_pil_decode` branch from rotting: when PIL is present
-    the BMP header dimensions must come back exactly; when absent,
-    allow_fake=False must refuse rather than fabricate features."""
+def test_multimodal_real_decode_no_fake(spark):
+    """allow_fake=False must REALLY decode BMPs (pure-numpy tier, no imaging
+    library) and return null rows — never fabricated features — for
+    undecodable payloads."""
     from dataqualityassistant_spark.ops import multimodal as mm
 
     bmp = _tiny_bmp(w=5, h=3)
@@ -393,21 +393,50 @@ def test_multimodal_real_decode_or_refusal(spark):
         [(1, "image", bytearray(bmp), "image/bmp", len(bmp)),
          (2, "image", bytearray(b"not an image"), "application/octet-stream", 12)],
         mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.decode_images(df, allow_fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (5, 3)   # header-true dims
+    assert len(got[1]["features"]) == 16
+    # uniform red image -> every block mean is exactly 255/3/255 = 1/3 gray
+    assert all(abs(f - 1 / 3) < 1e-6 for f in got[1]["features"])
+    assert got[2]["width"] is None                          # undecodable, no fake
+    assert got[2]["features"] is None
+    # fake tier still available (and clearly opt-in) for non-BMP payloads
+    fake = {r["media_id"]: r for r in mm.decode_images(df, allow_fake=True).collect()}
+    assert fake[2]["width"] is not None and len(fake[2]["features"]) == 16
 
-    if mm._HAS_PIL:
-        got = {r["media_id"]: r for r in mm.decode_images(df, allow_fake=False).collect()}
-        assert (got[1]["width"], got[1]["height"]) == (5, 3)   # header-true dims
-        assert len(got[1]["features"]) == 16
-        assert got[2]["width"] is None                          # undecodable, no fake
-        # pure-function check on the real branch too
+    if mm._HAS_PIL:  # pure-function check on the PIL branch when available
         w, h, feats = mm._pil_decode(bmp, 16)
         assert (w, h) == (5, 3) and len(feats) == 16
-    else:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            mm.decode_images(df, allow_fake=False)
-        # fake path stays deterministic and clearly available
-        got = {r["media_id"]: r for r in mm.decode_images(df, allow_fake=True).collect()}
-        assert got[1]["width"] is not None and len(got[1]["features"]) == 16
+
+
+def test_bmp_decoder_known_pixels():
+    """The numpy BMP tier against a hand-written 2×2 image with four known
+    pixels: white, black, red, blue. Rows are stored bottom-up in the file;
+    the decoder must flip them back, honor the BGR channel order and the
+    4-byte row padding, and emit block-mean grayscale features."""
+    import struct
+
+    from dataqualityassistant_spark.ops.multimodal import _bmp_decode
+
+    # logical image: top row (white, black), bottom row (red, blue)
+    top = bytes((255, 255, 255)) + bytes((0, 0, 0))        # BGR == RGB here
+    bottom = bytes((0, 0, 255)) + bytes((255, 0, 0))       # red, blue in BGR
+    pad = b"\x00\x00"                                      # stride 8 for w=2
+    pixels = (bottom + pad) + (top + pad)                  # bottom-up order
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels),
+                          2835, 2835, 0, 0)
+    w, h, feats = _bmp_decode(header + pixels, n_features=4)
+    assert (w, h) == (2, 2)
+    assert feats[0] == pytest.approx(1.0)        # top-left white
+    assert feats[1] == pytest.approx(0.0)        # top-right black
+    assert feats[2] == pytest.approx(1 / 3, abs=1e-6)  # bottom-left red
+    assert feats[3] == pytest.approx(1 / 3, abs=1e-6)  # bottom-right blue
+
+    # malformed inputs -> None, never an exception
+    assert _bmp_decode(b"BMshort", 4) is None
+    assert _bmp_decode(header + pixels[:-4], 4) is None   # truncated pixels
+    assert _bmp_decode(b"\x89PNG not a bmp at all padding", 4) is None
 
 
 def test_dedup_clusters_transitive_closure(spark):

@@ -153,12 +153,14 @@ class SuiteEngine:
         element_count = int(agg_row["__element_count"])
 
         results = []
+        pending_samples: list[tuple[CompiledExpectation, dict, dict]] = []
         for i, (rule, ces) in enumerate(compiled):
             t_rule = time.time()
             exp_results = []
             for j, ce in enumerate(ces):
                 exp_results.append(
-                    self._finalize_expectation(df, ce, agg_row, f"r{i}e{j}", element_count, schema_types)
+                    self._finalize_expectation(df, ce, agg_row, f"r{i}e{j}", element_count,
+                                               schema_types, pending_samples)
                 )
             rule_success = all(r.get("success", False) for r in exp_results)
             results.append(
@@ -176,6 +178,8 @@ class SuiteEngine:
                     "results": exp_results,
                 }
             )
+
+        self._flush_pending_samples(df, pending_samples)
 
         total_rules = len(results)
         successful = sum(1 for r in results if r["success"])
@@ -227,7 +231,8 @@ class SuiteEngine:
     # -- per-expectation finalization --------------------------------------
 
     def _finalize_expectation(self, df: DataFrame, ce: CompiledExpectation, agg_row: dict,
-                              prefix: str, element_count: int, schema_types: dict) -> dict:
+                              prefix: str, element_count: int, schema_types: dict,
+                              pending_samples: list | None = None) -> dict:
         if ce.error is not None:
             return {
                 "expectation_type": ce.expectation_type,
@@ -298,32 +303,83 @@ class SuiteEngine:
         if ce.observed_value_key is not None:
             result["observed_value"] = _serialize_value(
                 agg_row.get(f"{prefix}_{ce.observed_value_key}"))
-        sample_rows: list[dict] = []
-        if unexpected_count > 0 and self.collect_samples:
-            if ce.values_kind == "rows":
-                vals = [
-                    r[0]
-                    for r in self._mask_filtered(df, ce)
-                    .select(ce.column)
-                    .limit(self.max_unexpected_values)
-                    .collect()
-                ]
-                result["unexpected_values"] = [_serialize_value(v) for v in vals]
-            elif ce.values_kind == "dups":
-                result["unexpected_values"] = [
-                    _serialize_value(r[0]) for r in self._dup_values(df, ce.column, self.max_unexpected_values)
-                ]
-            sample_rows = self._fetch_samples(df, ce)
-        elif ce.values_kind is not None:
-            result["unexpected_values"] = []
-
-        return {
+        out = {
             "expectation_type": ce.expectation_type,
             "success": success,
             "result": result,
-            "sample_rows": sample_rows,
+            "sample_rows": [],
             "kwargs": ce.kwargs,
         }
+        if unexpected_count > 0 and self.collect_samples:
+            if ce.values_kind is not None:
+                result["unexpected_values"] = []  # filled below or by flush
+            if ce.values_kind == "dups":
+                result["unexpected_values"] = [
+                    _serialize_value(r[0]) for r in self._dup_values(df, ce.column, self.max_unexpected_values)
+                ]
+                out["sample_rows"] = self._fetch_samples(df, ce)
+            elif ce.unexpected_mask is not None and pending_samples is not None:
+                # mask-based fetches are deferred and batched into ONE job
+                # for the whole suite (see _flush_pending_samples)
+                pending_samples.append((ce, result, out))
+            else:
+                if ce.values_kind == "rows" and ce.unexpected_mask is not None:
+                    vals = [
+                        r[0]
+                        for r in self._mask_filtered(df, ce)
+                        .select(ce.column)
+                        .limit(self.max_unexpected_values)
+                        .collect()
+                    ]
+                    result["unexpected_values"] = [_serialize_value(v) for v in vals]
+                out["sample_rows"] = self._fetch_samples(df, ce)
+        elif ce.values_kind is not None:
+            result["unexpected_values"] = []
+        return out
+
+    def _flush_pending_samples(self, df: DataFrame, pending: list) -> None:
+        """Driver samples for ALL failing mask-based expectations in ONE
+        job: each expectation contributes a ``limit``-ed branch projected to
+        a common (tag, row-struct) schema; the branches union and collect
+        once, then fan back out to each expectation's ``unexpected_values``
+        (first ``max_unexpected_values`` rows' column values) and
+        ``sample_rows``. On a 100 TB table a suite with N failing rules
+        previously launched ~2N sequential small scans here; now it is one
+        job regardless of N."""
+        if not pending:
+            return
+        dfp = self._sample_projection(df)
+        limit = max(self.max_unexpected_values, self.max_sample_rows)
+        cols = [F.col(c) for c in dfp.columns]
+        branches = []
+        for tag, (ce, _result, _out) in enumerate(pending):
+            branches.append(
+                self._mask_filtered(dfp, ce)
+                .select(F.lit(tag).alias("__tag"), F.struct(*cols).alias("__row"))
+                .limit(limit)
+            )
+        unioned = branches[0]
+        for b in branches[1:]:
+            unioned = unioned.unionByName(b)
+        by_tag: dict[int, list] = {}
+        for r in unioned.collect():
+            by_tag.setdefault(r["__tag"], []).append(r["__row"])
+        for tag, (ce, result, out) in enumerate(pending):
+            got = by_tag.get(tag, [])
+            if ce.values_kind == "rows":
+                if ce.column in dfp.columns:
+                    vals = [row[ce.column] for row in got[: self.max_unexpected_values]]
+                else:  # binary column pruned from the sample projection
+                    vals = [
+                        r[0]
+                        for r in self._mask_filtered(df, ce)
+                        .select(ce.column)
+                        .limit(self.max_unexpected_values)
+                        .collect()
+                    ]
+                result["unexpected_values"] = [_serialize_value(v) for v in vals]
+            if ce.samples_kind == "mask":
+                out["sample_rows"] = [_row_to_sample(r) for r in got[: self.max_sample_rows]]
 
     def _dup_values(self, df: DataFrame, column: str, limit: int):
         return (

@@ -135,3 +135,46 @@ def test_minhash_pairs_reuse_cached_signatures(spark):
     df.count()  # materialize (fills the cache, executes the real plan)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_failing_expectation_samples_run_as_one_job(spark):
+    """A suite with 5 failing mask-based expectations (samples on) must run
+    ≤2 Spark jobs total: the fused aggregate + ONE unioned sample fetch —
+    not one limit() job per failing expectation (2N small scans on a 100 TB
+    table otherwise)."""
+    from dataqualityassistant_spark import run_suite
+
+    df = spark.createDataFrame(
+        [("x", 1.0), ("yy", 2.0), (None, 50.0)], "s: string, v: double")
+    rules = [Rule(id=1, name="all-fail", rule_config=[
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "s"}},
+        {"expectation_type": "expect_column_values_to_be_in_set",
+         "kwargs": {"column": "s", "value_set": ["nope"]}},
+        {"expectation_type": "expect_column_values_to_be_between",
+         "kwargs": {"column": "v", "max_value": 0.5}},
+        {"expectation_type": "expect_column_values_to_match_regex",
+         "kwargs": {"column": "s", "regex": "zzz"}},
+        {"expectation_type": "expect_column_value_lengths_to_be_between",
+         "kwargs": {"column": "s", "min_value": 10}},
+    ])]
+    sc = spark.sparkContext
+    # AQE materializes every shuffle stage as its own "job", which would
+    # count scheduling artifacts, not actions/scans — disable it so the job
+    # count equals the number of collect actions the engine issues
+    sc.setJobGroup("sample-batch-test", "counting suite jobs")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        suite = run_suite(df, rules)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    ids = sc.statusTracker().getJobIdsForGroup("sample-batch-test")
+    assert len(ids) <= 2, f"suite ran {len(ids)} jobs: {sorted(ids)}"
+    # and the batched fetch returned real per-expectation samples/values
+    rs = suite["results"][0]["results"]
+    assert all(not r["success"] for r in rs)
+    assert rs[1]["result"]["unexpected_values"] == ["x", "yy"]
+    assert rs[2]["result"]["unexpected_values"] == [1.0, 2.0, 50.0]
+    assert len(rs[0]["sample_rows"]) == 1          # the null row
+    assert len(rs[3]["sample_rows"]) == 2          # x, yy

@@ -36,6 +36,7 @@ _OUTPUT_TYPE = T.StructType([
     T.StructField("rows", T.LongType()),
     T.StructField("kept", T.LongType()),
     T.StructField("keep_rate", T.DoubleType()),
+    T.StructField("evicted", T.BooleanType()),
 ])
 _STATE_TYPE = T.StructType([
     T.StructField("rows", T.LongType()),
@@ -43,37 +44,68 @@ _STATE_TYPE = T.StructType([
 ])
 
 
-def _update_domain_state(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    rows, kept = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        rows += int(len(pdf))
-        kept += int(pdf["kept"].sum())
-    state.update((rows, kept))
-    yield pd.DataFrame({
-        "domain": [key[0]],
+def _out_row(domain, rows: int, kept: int, evicted: bool) -> pd.DataFrame:
+    return pd.DataFrame({
+        "domain": [domain],
         "rows": [rows],
         "kept": [kept],
         "keep_rate": [kept / rows if rows else 0.0],
+        "evicted": [evicted],
     })
 
 
-def domain_running_stats(scored_stream: DataFrame) -> DataFrame:
-    """scored page stream → running (domain, rows, kept, keep_rate) upserts.
-    Pure transformation on a streaming DataFrame; attach your own sink."""
+def _make_update_fn(idle_timeout_ms: int | None):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle domain: emit its final totals flagged evicted=True and
+            # drop the state — if the domain reappears later its running
+            # totals restart from zero (the changelog keeps the history)
+            rows, kept = state.get if state.exists else (0, 0)
+            state.remove()
+            yield _out_row(key[0], rows, kept, True)
+            return
+        rows, kept = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            rows += int(len(pdf))
+            kept += int(pdf["kept"].sum())
+        state.update((rows, kept))
+        if idle_timeout_ms is not None:
+            # processing-time timers must be re-armed every batch the key
+            # is seen; the timestamp persists in the state store across
+            # restarts, so eviction fires on the first batch after expiry
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield _out_row(key[0], rows, kept, False)
+
+    return update
+
+
+def domain_running_stats(scored_stream: DataFrame,
+                         idle_timeout_ms: int | None = None) -> DataFrame:
+    """scored page stream → running (domain, rows, kept, keep_rate, evicted)
+    upserts. Pure transformation on a streaming DataFrame; attach your own
+    sink.
+
+    ``idle_timeout_ms`` bounds state for domains never seen again (without
+    it state grows monotonically with the distinct-domain count): a domain
+    idle for that long is evicted on the next processed batch with one final
+    ``evicted=True`` changelog row carrying its last totals, and its state
+    is removed — a later reappearance restarts from zero."""
     keyed = scored_stream.select(
         F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit("")).alias("domain"),
         F.col("verdict").cast("long").alias("kept"),
     )
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms is not None else GroupStateTimeout.NoTimeout)
     return keyed.groupBy("domain").applyInPandasWithState(
-        _update_domain_state,
+        _make_update_fn(idle_timeout_ms),
         outputStructType=_OUTPUT_TYPE,
         stateStructType=_STATE_TYPE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -84,6 +116,7 @@ def start_domain_stats_stream(
     checkpoint_path: str,
     pipeline: QualityFilterPipeline | None = None,
     trigger_once: bool = False,
+    idle_timeout_ms: int | None = None,
 ):
     """File-landing pages → running domain stats changelog.
 
@@ -94,7 +127,7 @@ def start_domain_stats_stream(
     is the current running total."""
     pipe = pipeline or QualityFilterPipeline()
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
-    updates = domain_running_stats(pipe.score(pages))
+    updates = domain_running_stats(pipe.score(pages), idle_timeout_ms=idle_timeout_ms)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -395,6 +395,78 @@ def test_stateful_domain_stats_accumulate_across_batches(spark, tmp_path):
     assert int(latest["rows"].sum()) == 200  # state accumulated, not reset
 
 
+def test_stateful_idle_timeout_evicts_drained_domain(spark, tmp_path):
+    """idle_timeout_ms bounds state for domains never seen again: after the
+    timer expires, the next processed micro-batch emits one final
+    evicted=True changelog row carrying the domain's last totals and removes
+    its state, so a later reappearance restarts from zero.
+
+    Runs domain_running_stats directly on pre-scored rows. availableNow +
+    processing-time timers never self-terminates (Spark keeps ticking empty
+    micro-batches to service future timers), so the test polls the changelog
+    for the expected rows and stops the query explicitly."""
+    import time
+
+    from pyspark.sql import functions as SF_
+    from dataqualityassistant_spark.streaming.stateful import domain_running_stats
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("landing", "stats", "ckpt"))
+    schema = "url string, verdict boolean"
+
+    def rows(domain, start, n):
+        return [(f"https://{domain}/p/{i:06d}", True) for i in range(start, start + n)]
+
+    def start_query():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        updates = domain_running_stats(stream, idle_timeout_ms=2000)
+
+        def sink(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            (batch_df.withColumn("batch_id", SF_.lit(batch_id)).coalesce(1)
+             .write.mode("append").parquet(out))
+
+        return (updates.writeStream.outputMode("update").foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    def poll_until(predicate, q, seconds=90):
+        deadline = time.time() + seconds
+        while time.time() < deadline:
+            try:
+                log = spark.read.parquet(out).toPandas()
+            except Exception:
+                log = None
+            if log is not None and predicate(log):
+                return log
+            time.sleep(1)
+        q.stop()
+        raise AssertionError("condition not reached within the poll window")
+
+    # run 1: both domains get data, then (no further files) both time out
+    spark.createDataFrame(rows("a.example", 0, 5) + rows("b.example", 0, 3),
+                          schema).write.mode("append").parquet(inp)
+    q = start_query()
+    log = poll_until(lambda l: l["evicted"].sum() >= 2, q)
+    q.stop()
+    a = log[log["domain"] == "a.example"].sort_values("batch_id")
+    b = log[log["domain"] == "b.example"].sort_values("batch_id")
+    # eviction rows carry the FINAL totals, after the normal data rows
+    assert list(a["rows"]) == [5, 5] and list(a["evicted"]) == [False, True], a
+    assert list(b["rows"]) == [3, 3] and list(b["evicted"]) == [False, True], b
+
+    # run 2 (same checkpoint): b returns — its state was removed, so totals
+    # restart from zero instead of resuming at 3
+    n_rows_run1 = len(log)
+    spark.createDataFrame(rows("b.example", 100, 4), schema) \
+        .write.mode("append").parquet(inp)
+    q = start_query()
+    log = poll_until(lambda l: len(l) > n_rows_run1, q)
+    q.stop()
+    b2 = log[log["domain"] == "b.example"].sort_values("batch_id").iloc[-1]
+    assert b2["rows"] == 4 and not b2["evicted"], log
+
+
 def test_html_extraction_byte_parity(spark):
     """JVM html→text chain vs Python re on adversarial html: nested/unclosed
     tags, scripts/styles with angle brackets inside, entities (incl. the

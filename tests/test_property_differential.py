@@ -111,3 +111,125 @@ def test_dedup_clusters_match_union_find(spark, edges):
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     want = _union_find_components(edges)
     assert got == want
+
+
+# ------------------------------------------- full-registry suite fuzzer
+
+_STR_POOL = ["a", "b", "aa", "zz", "", '{"k": 1}', "[1, 2]", "123", "notjson"]
+_strings = st.lists(st.one_of(st.none(), st.sampled_from(_STR_POOL)),
+                    min_size=2, max_size=10)
+_floats = st.lists(st.one_of(st.none(), st.integers(-5, 10).map(float)),
+                   min_size=2, max_size=10)
+_regexes = st.sampled_from(["a", "a+", "[ab]", "z{2}", "^$", ".1", "\\d+"])
+_bounds = st.one_of(st.none(), st.integers(-3, 8).map(float))
+
+
+def _full_expectation_strategy():
+    m = mostly_s
+
+    def k(mv):
+        return {"mostly": mv} if mv is not None else {}
+
+    return st.one_of(
+        st.builds(lambda c, mv: ("expect_column_values_to_not_be_null",
+                                 {"column": c, **k(mv)}),
+                  st.sampled_from(["s", "u", "v"]), m),
+        st.builds(lambda vs, mv: ("expect_column_values_to_be_in_set",
+                                  {"column": "s", "value_set": vs, **k(mv)}),
+                  st.lists(st.sampled_from(_STR_POOL), max_size=3), m),
+        st.builds(lambda vs, mv: ("expect_column_values_to_not_be_in_set",
+                                  {"column": "s", "value_set": vs, **k(mv)}),
+                  st.lists(st.sampled_from(_STR_POOL), max_size=3), m),
+        st.builds(lambda lo, hi, mv: ("expect_column_values_to_be_between",
+                                      {"column": "v",
+                                       **({"min_value": lo} if lo is not None else {}),
+                                       **({"max_value": hi} if hi is not None else {}),
+                                       **k(mv)}),
+                  _bounds, _bounds, m),
+        st.builds(lambda lo, hi, mv: ("expect_column_value_lengths_to_be_between",
+                                      {"column": "s",
+                                       **({"min_value": int(lo)} if lo is not None else {}),
+                                       **({"max_value": int(hi)} if hi is not None else {}),
+                                       **k(mv)}),
+                  st.one_of(st.none(), st.integers(0, 6)),
+                  st.one_of(st.none(), st.integers(0, 10)), m),
+        st.builds(lambda rx, mv: ("expect_column_values_to_match_regex",
+                                  {"column": "s", "regex": rx, **k(mv)}), _regexes, m),
+        st.builds(lambda rx, mv: ("expect_column_values_to_not_match_regex",
+                                  {"column": "s", "regex": rx, **k(mv)}), _regexes, m),
+        st.builds(lambda c: ("expect_column_values_to_be_unique", {"column": c}),
+                  st.sampled_from(["s", "v"])),
+        st.builds(lambda mv: ("expect_column_pair_values_to_be_equal",
+                              {"column_A": "v", "column_B": "w", **k(mv)}), m),
+        st.builds(lambda ps, mv: ("expect_column_pair_values_to_be_in_set",
+                                  {"column_A": "s", "column_B": "u",
+                                   "value_pairs": ps, **k(mv)}),
+                  st.lists(st.tuples(st.sampled_from(_STR_POOL),
+                                     st.sampled_from(_STR_POOL)).map(list), max_size=3), m),
+        st.builds(lambda oe, mv: ("expect_column_values_to_be_greater_than_other_column",
+                                  {"column": "v", "compare_to": "w",
+                                   "or_equal": oe, **k(mv)}), st.booleans(), m),
+        st.builds(lambda mv: ("expect_column_values_to_be_json_parseable",
+                              {"column": "s", **k(mv)}), m),
+        st.builds(lambda pb, strict, mv: ("expect_column_values_to_be_increasing",
+                                          {"column": "v", "order_by": ["t"],
+                                           **({"partition_by": ["g"]} if pb else {}),
+                                           "strictly": strict, **k(mv)}),
+                  st.booleans(), st.booleans(), m),
+        st.builds(lambda t, ds, mv: ("expect_column_value_z_scores_to_be_less_than",
+                                     {"column": "v", "threshold": t,
+                                      "double_sided": ds, **k(mv)}),
+                  st.sampled_from([0.9, 1.7]), st.booleans(), m),
+        st.builds(lambda et, lo, hi: (et, {"column": "v",
+                                           **({"min_value": lo} if lo is not None else {}),
+                                           **({"max_value": hi} if hi is not None else {})}),
+                  st.sampled_from(["expect_table_row_count_to_be_between",
+                                   "expect_column_mean_to_be_between",
+                                   "expect_column_min_to_be_between",
+                                   "expect_column_max_to_be_between",
+                                   "expect_column_distinct_count_to_be_between"]),
+                  _bounds, _bounds),
+    )
+
+
+@settings(max_examples=200, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(s_vals=_strings, u_vals=_strings, v_vals=_floats, w_vals=_floats,
+       g_vals=st.lists(st.integers(0, 2), min_size=2, max_size=10),
+       exps=st.lists(_full_expectation_strategy(), min_size=1, max_size=4))
+def test_random_suites_match_oracle_across_full_registry(spark, s_vals, u_vals,
+                                                         v_vals, w_vals, g_vals, exps):
+    """Random suites drawn from EVERY registered expectation type (row-level,
+    pair, window, two-pass z-score, aggregate) against the pandas oracle:
+    counts, percents, and success flags must agree on random frames with
+    nulls, ties, empty sets and boundary mostly values. The fused
+    single-scan aggregate, pre-projected window masks, and the z-score
+    literal second pass all ride the same engine path being fuzzed."""
+    n = max(len(s_vals), len(u_vals), len(v_vals), len(w_vals), len(g_vals))
+    s_vals = (s_vals + [None] * n)[:n]
+    u_vals = (u_vals + [None] * n)[:n]
+    v_vals = (v_vals + [None] * n)[:n]
+    w_vals = (w_vals + [None] * n)[:n]
+    g_vals = (g_vals + [0] * n)[:n]
+    t_vals = list(range(n))  # unique order keys: window lag is deterministic
+    pdf = pd.DataFrame({
+        "s": pd.Series(s_vals, dtype=object), "u": pd.Series(u_vals, dtype=object),
+        "v": pd.Series(v_vals, dtype=float), "w": pd.Series(w_vals, dtype=float),
+        "g": pd.Series(g_vals, dtype="int64"), "t": pd.Series(t_vals, dtype="int64"),
+    })
+    sdf = spark.createDataFrame(
+        list(zip(s_vals, u_vals, v_vals, w_vals, g_vals, t_vals)),
+        "s: string, u: string, v: double, w: double, g: long, t: long")
+
+    rule = Rule(id=1, name="fuzz", rule_config=[
+        {"expectation_type": et, "kwargs": kw} for et, kw in exps])
+    suite = run_suite(sdf, [rule], collect_samples=False)
+    got_all = suite["results"][0]["results"]
+    for (et, kw), got in zip(exps, got_all):
+        want = oracle_expectation(pdf, et, kw)
+        assert "error" not in want, (et, kw)
+        assert got.get("error") is None, (et, kw, got)
+        assert got["result"]["unexpected_count"] == want["unexpected_count"], \
+            (et, kw, s_vals, v_vals, w_vals, g_vals)
+        assert got["result"]["unexpected_percent"] == pytest.approx(want["unexpected_percent"])
+        assert got["success"] == want["success"], (et, kw)

@@ -4,6 +4,9 @@ similarity search (brute-force + LSH-bucketed ANN), text statistics, and
 multimodal binary-column plumbing."""
 
 from dataqualityassistant_spark.ops.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
+    dedup_clusters,
+    drop_near_duplicates,
     exact_dedup,
     minhash_signatures,
     minhash_candidate_pairs,
@@ -20,6 +23,9 @@ from dataqualityassistant_spark.ops.textstats import (
 )
 
 __all__ = [
+    "DEFAULT_MAX_BUCKET_SIZE",
+    "dedup_clusters",
+    "drop_near_duplicates",
     "exact_dedup",
     "minhash_signatures",
     "minhash_candidate_pairs",

@@ -51,6 +51,36 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
         w.saveAsTable(ref)
 
 
+def write_bucketed_table(df: DataFrame, table_name: str, bucket_cols: list[str],
+                         n_buckets: int, sort_cols: list[str] | None = None,
+                         path: str | None = None, mode: str = "overwrite") -> None:
+    """Persist a catalog table hash-bucketed (and optionally sorted) on the
+    join/aggregation key — the lake-table co-location primitive for 100 TB:
+
+    - a join of two tables bucketed on the same key with the same bucket
+      count runs with ZERO Exchange (each task joins bucket i against
+      bucket i; asserted in tests/test_plans.py);
+    - adding ``sort_cols`` = the bucket key also removes the per-task Sort
+      of a sort-merge join (bucket files are pre-sorted; the reader reports
+      that ordering only with one file per bucket — guaranteed here by the
+      pre-write repartition — and, since Spark 3.0, the conf
+      ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``);
+    - groupBy on the bucket key aggregates without a shuffle.
+
+    Bucket metadata lives in the session catalog (saveAsTable is required —
+    plain ``.parquet(path)`` cannot record bucketing); pass ``path`` to keep
+    the data at an external location. Writers produce one file per
+    (task, bucket), so repartition by the bucket key first on wide inputs —
+    the same fan-out-writer rule as the pipeline's partitioned writes."""
+    w = df.repartition(n_buckets, *[df[c] for c in bucket_cols]).write.mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    w = w.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def table_exists(spark: SparkSession, ref: str) -> bool:
     """Analog of the reference's information_schema EXISTS probe
     (db_utils.py:11-35)."""

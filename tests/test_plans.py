@@ -178,3 +178,46 @@ def test_failing_expectation_samples_run_as_one_job(spark):
     assert rs[2]["result"]["unexpected_values"] == [1.0, 2.0, 50.0]
     assert len(rs[0]["sample_rows"]) == 1          # the null row
     assert len(rs[3]["sample_rows"]) == 2          # x, yy
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key with the same bucket count
+    must sort-merge join with ZERO Exchange and ZERO Sort — the co-located
+    join shape that makes repeated fact-to-fact joins free at 100 TB. An
+    unbucketed baseline on the same data must show the shuffles, proving the
+    assertion bites."""
+    from dataqualityassistant_spark.sources.tables import write_bucketed_table
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    try:
+        write_bucketed_table(orders, "bt_orders", ["o_orderkey"], 4,
+                             sort_cols=["o_orderkey"], path=str(tmp_path / "o"))
+        write_bucketed_table(lineitem, "bt_lineitem", ["l_orderkey"], 4,
+                             sort_cols=["l_orderkey"], path=str(tmp_path / "l"))
+        # since Spark 3.0 a bucketed scan reports no output ordering by
+        # default (buckets may span files); with one file per bucket (we
+        # repartition by the key before writing) the legacy conf restores
+        # the sortBy metadata and the per-task Sort disappears too
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        bo, bl = spark.table("bt_orders"), spark.table("bt_lineitem")
+        # hint("merge"): at sf0.01 Catalyst would broadcast the small side;
+        # at 100 TB both sides are fact tables and SMJ is the real strategy —
+        # the hint pins the plan shape under test
+        joined = bo.hint("merge").join(bl, bo["o_orderkey"] == bl["l_orderkey"]) \
+            .select("o_orderkey", "l_quantity")
+        tree = tree_of(joined)
+        assert "SortMergeJoin" in tree, tree
+        assert "Exchange" not in tree, tree
+        assert "Sort" not in tree.replace("SortMergeJoin", ""), tree
+        # sanity: equal row counts vs the plain-parquet join
+        plain = orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        assert joined.count() == plain.count()
+        plain_tree = tree_of(
+            plain.select("o_orderkey", "l_quantity")
+            .hint("merge"))
+        assert "Exchange" in plain_tree  # the baseline DOES shuffle
+    finally:
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")

@@ -415,6 +415,73 @@ def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFram
             .select("new_id", "corpus_id", "jaccard_est"))
 
 
+def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 128, shingle: int = 9, seed: int = 42,
+                      bands: int = 16, threshold: float = 0.8,
+                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
+    """One continuous-crawl dedup step: dedup a new batch within itself AND
+    against everything previously accepted, then record the survivors'
+    signatures. Returns the surviving rows of ``new_docs``.
+
+    1. MinHash signatures for the batch (persisted — they feed three
+       consumers below);
+    2. within-batch near-dups via the banded self-join → one survivor per
+       cluster (min id);
+    3. batch survivors × signature store via the banded cross join — any
+       survivor matching the accepted corpus is dropped (its within-batch
+       losers were already dropped, so transitive corpus dups go with it);
+    4. survivors' signatures land in the store under
+       ``batch_id=<batch_id>`` with dynamic partition overwrite — REPLAYING
+       a failed batch with the same id replaces its own partition instead of
+       appending duplicates (same idempotent-replay contract as the
+       streaming sinks).
+
+    Scale shape: the store grows by one partition per batch and only its
+    banded projection joins each new batch (bucket-local, corpus-side
+    hot buckets capped); nothing ever re-self-joins the whole corpus. At
+    10^12 accepted docs, compact the store periodically into bucketed files
+    on the band hash for a fully co-located join."""
+    spark = new_docs.sparkSession
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(new_docs, text_col, id_col, n_hashes, shingle, seed) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = minhash_candidate_pairs(sigs, id_col, bands, threshold,
+                                    max_bucket_size, n_hashes=n_hashes,
+                                    persist_signatures=False)
+    survivors = drop_near_duplicates(new_docs, pairs, id_col)
+    try:
+        # exclude THIS batch's partition (partition-pruned): a replay after
+        # a crash-after-write must not match the batch against its own
+        # stored signatures and return zero survivors
+        corpus = (spark.read.parquet(store_path)
+                  .where(F.col("batch_id") != F.lit(str(batch_id)))
+                  .select(id_col, "signature"))
+        store_exists = True
+    except Exception:  # first batch: no store yet
+        store_exists = False
+    if store_exists:
+        surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")
+        cross = minhash_pairs_against(surv_sigs, corpus, id_col, bands,
+                                      threshold, max_bucket_size)
+        dup_new = cross.select(F.col("new_id").alias(id_col)).distinct()
+        survivors = survivors.join(dup_new, id_col, "left_anti")
+    # freeze survivors BEFORE the store write: their plan reads the store,
+    # and a lazy re-evaluation after this batch's partition lands would
+    # anti-join the batch against itself (every survivor self-matches at
+    # jaccard 1.0 and vanishes)
+    survivors = survivors.localCheckpoint(eager=True)
+    out_sigs = (sigs.join(survivors.select(id_col), id_col, "left_semi")
+                .withColumn("batch_id", F.lit(str(batch_id))))
+    (out_sigs.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(store_path))
+    sigs.unpersist()
+    return survivors
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash_one(text: str | None) -> int | None:

@@ -506,6 +506,48 @@ def test_minhash_incremental_against_corpus(spark, docs):
     assert not any(n == 101 for n, _ in pairs)      # novel doc matches nothing
 
 
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Continuous-crawl composite: each batch dedups within itself AND
+    against the accepted-signature store; survivors' signatures land under
+    their batch_id partition, so replaying a batch is idempotent."""
+    from dataqualityassistant_spark.ops.dedup import incremental_dedup
+
+    store = str(tmp_path / "sigstore")
+    novel = "totally novel words about sailing ships on the open ocean at dawn"
+
+    # batch 1: two copies of BASE + one unique -> 2 survivors
+    b1 = spark.createDataFrame([(1, BASE), (2, BASE), (3, novel)],
+                               "doc_id: long, text: string")
+    s1 = sorted(r["doc_id"] for r in
+                incremental_dedup(b1, store, batch_id="b1", n_hashes=64,
+                                  shingle=5, threshold=0.5).collect())
+    assert s1 == [1, 3]
+    store_ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert store_ids == {1, 3}
+
+    # batch 2: a near-dup of the accepted BASE + a fresh doc -> only the
+    # fresh one survives and joins the store
+    b2 = spark.createDataFrame(
+        [(10, NEAR), (11, "completely different prose about mountain railways in winter storms")],
+        "doc_id: long, text: string")
+    s2 = sorted(r["doc_id"] for r in
+                incremental_dedup(b2, store, batch_id="b2", n_hashes=64,
+                                  shingle=5, threshold=0.5).collect())
+    assert s2 == [11]
+    store_ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert store_ids == {1, 3, 11}
+
+    # replaying batch 2 with the same id is fully idempotent: same
+    # survivors (its own stored signatures are excluded from the corpus
+    # check), same store contents, no duplicate rows
+    s2_replay = sorted(r["doc_id"] for r in
+                       incremental_dedup(b2, store, batch_id="b2", n_hashes=64,
+                                         shingle=5, threshold=0.5).collect())
+    assert s2_replay == [11]
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 3 and {r["doc_id"] for r in rows} == {1, 3, 11}
+
+
 def test_ann_multitable_recall(spark):
     """Multi-table LSH is the recall lever: on the sf0.01 embeddings
     (near-uniform vectors — the hard case) mean recall@10 vs the exhaustive

@@ -42,6 +42,7 @@ from dataqualityassistant_spark.ops.similarity import (
     ann_topk_lsh,
     embedding_near_dup_pairs,
 )
+from dataqualityassistant_spark.ops.joins import asof_join
 from dataqualityassistant_spark.ops.textstats import TOKEN_PATTERN, with_fingerprints
 from dataqualityassistant_spark.functions.scrub import SCRUB_PATTERNS, scrub_text_column
 from dataqualityassistant_spark.functions.langid import langid_udf
@@ -289,6 +290,22 @@ def q_topk_events_per_user(spark, sf_dir):
     )
 
 
+def q_asof_clicks(spark, sf_dir):
+    """As-of join: attach the most recent click at-or-before each error,
+    per user (union + running-last: ONE hash exchange, zero join operators
+    — plan shape asserted in tests/test_joins.py). Oracle: DuckDB's native
+    ASOF LEFT JOIN — a fully independent implementation of the semantics."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.col("value").alias("click_value"))
+    j = asof_join(errors, clicks, on="user_id")
+    sec = lambda c: F.col(c).cast("timestamp_ltz").cast("double")  # noqa: E731
+    return j.select(
+        "event_id", "user_id", "click_id", "click_value",
+        (sec("ts") - sec("ts_right")).alias("gap_seconds"))
+
+
 def q_profile_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.agg(
@@ -458,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_like": q_tpch_q3_like,
         "user_session_stats": q_user_session_stats,
         "topk_events_per_user": q_topk_events_per_user,
+        "asof_clicks": q_asof_clicks,
         "profile_docs": q_profile_docs,
         "events_hourly": q_events_hourly,
         "fk_orphan_orders": q_fk_orphan_orders,
@@ -623,6 +641,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
                   FROM events)
             WHERE rn <= 3
+        """,
+        "asof_clicks": """
+            SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                   CAST(e.user_id AS BIGINT) AS user_id,
+                   CAST(c.click_id AS BIGINT) AS click_id,
+                   c.click_value AS click_value,
+                   epoch(e.ts) - epoch(c.ts) AS gap_seconds
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
+                            FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
         """,
         "profile_docs": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -14,6 +14,7 @@ from dataqualityassistant_spark.ops.dedup import (
     simhash_candidate_pairs,
     ngram_jaccard_pairs,
 )
+from dataqualityassistant_spark.ops.joins import asof_join
 from dataqualityassistant_spark.ops.similarity import cosine_topk, lsh_bucket_ids, ann_topk_lsh
 from dataqualityassistant_spark.ops.textstats import (
     with_token_count,
@@ -32,6 +33,7 @@ __all__ = [
     "simhash",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
+    "asof_join",
     "cosine_topk",
     "lsh_bucket_ids",
     "ann_topk_lsh",

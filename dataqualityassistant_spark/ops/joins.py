@@ -1,0 +1,136 @@
+"""Time-series as-of join.
+
+The reference (DarshanaSahu/DataQualityAssistant) has no temporal join —
+this is part of the training-data/event-pipeline layer this engine adds
+(e.g. "attach the most recent click before each error", "join crawl
+snapshots to the latest robots.txt fetch").
+
+Spark has no built-in as-of join, and the naive formulations do not scale:
+
+* range-join (``l.ts >= r.ts`` + window to pick the max) explodes to
+  O(|L|·|R|) per key before the filter;
+* per-key ``applyInPandas`` + ``pandas.merge_asof`` works but drags every
+  payload byte through Arrow.
+
+The scale-correct shape is the **union + running-last trick**: tag the two
+inputs, union them, hash-partition once by the join key, sort by
+``(ts, side)`` within the partition, and carry the right-hand payload
+forward with ``last(..., ignorenulls=True)`` over an unbounded-preceding
+running window. One shuffle on the key, one sort, zero joins — the same
+plan shape as sessionization, so it survives 100 TB exactly as well as any
+keyed window does (skewed keys are the caller's salting problem, as with
+any groupBy).
+
+Semantics match ``pandas.merge_asof`` (backward/forward, inclusive or
+exclusive exact matches, optional tolerance) and DuckDB's ``ASOF JOIN``
+(backward + inclusive), which serves as the independent SQL oracle in
+``__spark_entry__.oracle_sql()["asof_clicks"]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def _epoch_seconds(col: Column) -> Column:
+    # parquet TIMESTAMP arrives as TIMESTAMP_NTZ (no direct numeric cast);
+    # via timestamp_ltz under a UTC session it matches DuckDB's fractional
+    # epoch() bit-for-bit (same trick as the sessionization query).
+    return col.cast("timestamp_ltz").cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the single right row with
+    the largest ``right_ts <= left_ts`` (``backward``) or smallest
+    ``right_ts >= left_ts`` (``forward``) within the same ``on`` key.
+
+    Left rows with no qualifying right row keep NULL right columns (left
+    semantics, like ``pandas.merge_asof`` / DuckDB ``ASOF LEFT JOIN``).
+    Right rows with a NULL timestamp never match; left rows with a NULL
+    timestamp never receive a match.
+
+    ``tolerance`` (seconds, float) drops matches farther than that from the
+    left timestamp. Right payload columns that collide with a left column
+    name are renamed with ``suffix``.
+
+    Determinism: if the right side has several rows with the SAME
+    ``(key, right_ts)``, which one wins is unspecified (same as DuckDB
+    ASOF) — pre-aggregate the right side to unique ``(key, ts)`` (e.g.
+    ``max_by``) when that matters.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    for k in keys:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"join key {k!r} must exist on both sides")
+
+    payload_cols = [c for c in right.columns if c not in keys]
+    if right_ts not in payload_cols:
+        raise ValueError(f"right_ts {right_ts!r} must be a non-key right column")
+
+    # Tag order at EQUAL timestamps decides inclusivity: the running window
+    # sees rows in sort order, so placing right rows before left rows makes
+    # an exact-timestamp right row visible to the left row (inclusive).
+    right_side, left_side = (0, 1) if allow_exact_matches else (1, 0)
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(right_side).alias("__asof_side"),
+        F.struct(*payload_cols).alias("__asof_payload"),
+    ).where(F.col("__asof_ts").isNotNull())
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(left_side).alias("__asof_side"),
+        F.struct(*left.columns).alias("__asof_left"),
+    )
+
+    # allowMissingColumns fills the absent struct with NULL on each side
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        order = [F.col("__asof_ts").asc_nulls_first(), F.col("__asof_side").asc()]
+    else:
+        order = [F.col("__asof_ts").desc_nulls_first(), F.col("__asof_side").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    )
+
+    out = carried.where(F.col("__asof_left").isNotNull())
+    match = F.col("__asof_match")
+    # a left NULL timestamp sorts first within its key, so no right row can
+    # precede it in the running window — no extra guard needed for backward;
+    # same for forward with desc_nulls_first.
+    if tolerance is not None:
+        gap = _epoch_seconds(F.col("__asof_ts")) - _epoch_seconds(match[right_ts])
+        if direction == "forward":
+            gap = -gap
+        match = F.when(gap <= F.lit(float(tolerance)), match)
+
+    left_names = set(left.columns)
+    out_cols = [F.col(f"__asof_left.{c}").alias(c) for c in left.columns]
+    for c in payload_cols:
+        out_name = c + suffix if c in left_names else c
+        out_cols.append(match[c].alias(out_name))
+    return out.select(*out_cols)

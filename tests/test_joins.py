@@ -1,0 +1,107 @@
+"""as-of join: hand-computed semantics, pandas.merge_asof differential,
+and the plan shape (ONE hash exchange, zero join operators)."""
+
+import datetime as dt
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dataqualityassistant_spark.ops.joins import asof_join
+
+
+def ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(20), "b"), (1, ts(5), "c"),
+         (2, ts(10), "d"),            # key with no right rows at all
+         (1, None, "e")],             # null left ts -> never matches
+        "k int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, ts(10), 100.0), (1, ts(15), 150.0), (3, ts(1), 999.0),
+         (1, None, -1.0)],            # null right ts -> never matches
+        "k int, ts timestamp, val double")
+    return left, right
+
+
+def _rows(df):
+    return {r["tag"]: r for r in df.collect()}
+
+
+def test_backward_inclusive(sides):
+    left, right = sides
+    out = _rows(asof_join(left, right, on="k"))
+    assert out["a"]["val"] == 100.0 and out["a"]["ts_right"] == ts(10)  # exact match allowed
+    assert out["b"]["val"] == 150.0
+    assert out["c"]["val"] is None                                      # nothing at/before 5
+    assert out["d"]["val"] is None                                      # no right rows for key
+    assert out["e"]["val"] is None                                      # null left ts
+
+
+def test_backward_exclusive(sides):
+    left, right = sides
+    out = _rows(asof_join(left, right, on="k", allow_exact_matches=False))
+    assert out["a"]["val"] is None      # the equal-ts right row is excluded, none earlier
+
+
+def test_tolerance(sides):
+    left, right = sides
+    out = _rows(asof_join(left, right, on="k", tolerance=4.0))
+    assert out["a"]["val"] == 100.0     # gap 0 <= 4
+    assert out["b"]["val"] is None      # gap 5 > 4
+
+
+def test_forward(sides):
+    left, right = sides
+    out = _rows(asof_join(left, right, on="k", direction="forward"))
+    assert out["a"]["val"] == 100.0     # inclusive exact
+    assert out["c"]["val"] == 100.0     # next at 10
+    assert out["b"]["val"] is None      # nothing at/after 20
+
+
+def test_differential_vs_pandas_merge_asof(spark):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    base = pd.Timestamp("2024-01-01")
+    lpd = pd.DataFrame({
+        "k": rng.integers(0, 8, n_l),
+        "ts": base + pd.to_timedelta(rng.integers(0, 100_000, n_l), unit="s"),
+        "lid": np.arange(n_l),
+    })
+    # unique (k, ts) on the right => deterministic winner on both engines
+    rpd = pd.DataFrame({
+        "k": rng.integers(0, 8, n_r),
+        "ts": base + pd.to_timedelta(rng.integers(0, 100_000, n_r), unit="s"),
+        "val": rng.normal(size=n_r).round(3),
+    }).drop_duplicates(["k", "ts"])
+    for direction, tol in [("backward", None), ("forward", None), ("backward", 500.0)]:
+        want = pd.merge_asof(
+            lpd.sort_values("ts"), rpd.sort_values("ts"), on="ts", by="k",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        ).sort_values("lid").reset_index(drop=True)
+        got = (
+            asof_join(spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                      on="k", direction=direction, tolerance=tol)
+            .orderBy("lid").toPandas()
+        )
+        pd.testing.assert_series_equal(
+            got["val"], want["val"], check_names=False, obj=f"{direction}/tol={tol}")
+
+
+def test_plan_one_exchange_no_join(spark, sides):
+    left, right = sides
+    plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, plan

@@ -43,6 +43,7 @@ from dataqualityassistant_spark.ops.similarity import (
     embedding_near_dup_pairs,
 )
 from dataqualityassistant_spark.ops.joins import asof_join
+from dataqualityassistant_spark.ops.urltools import url_dedup
 from dataqualityassistant_spark.ops.textstats import TOKEN_PATTERN, with_fingerprints
 from dataqualityassistant_spark.functions.scrub import SCRUB_PATTERNS, scrub_text_column
 from dataqualityassistant_spark.functions.langid import langid_udf
@@ -306,6 +307,23 @@ def q_asof_clicks(spark, sf_dir):
         (sec("ts") - sec("ts_right")).alias("gap_seconds"))
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + dedup: a deterministically messy URL is built
+    from doc_id (mixed case, www., :443, utm_* trackers, fragment) and
+    collapsed by `ops.urltools.url_dedup`. The oracle does NOT mirror the
+    regex chain — it states the expected canonical form directly from the
+    same doc_id arithmetic, so the canonicalizer is checked against an
+    independent spec."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Src"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/p/"), (F.col("doc_id") % 17).cast("string"),
+        F.lit("?utm_source=feed&id="), (F.col("doc_id") % 17).cast("string"),
+        F.lit("&utm_campaign=x"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return url_dedup(docs.select("doc_id", messy.alias("url")))
+
+
 def q_profile_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.agg(
@@ -476,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_session_stats": q_user_session_stats,
         "topk_events_per_user": q_topk_events_per_user,
         "asof_clicks": q_asof_clicks,
+        "url_dedup": q_url_dedup,
         "profile_docs": q_profile_docs,
         "events_hourly": q_events_hourly,
         "fk_orphan_orders": q_fk_orphan_orders,
@@ -652,6 +671,14 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
                             FROM events WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "url_dedup": """
+            SELECT 'https://src' || (doc_id % 7) || '.example.com/p/' || (doc_id % 17)
+                       || '?id=' || (doc_id % 17) AS canonical_url,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dupes
+            FROM documents
+            GROUP BY 1
         """,
         "profile_docs": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

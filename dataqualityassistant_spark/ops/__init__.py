@@ -16,6 +16,7 @@ from dataqualityassistant_spark.ops.dedup import (
 )
 from dataqualityassistant_spark.ops.joins import asof_join
 from dataqualityassistant_spark.ops.similarity import cosine_topk, lsh_bucket_ids, ann_topk_lsh
+from dataqualityassistant_spark.ops.urltools import canonicalize_url, registered_domain, url_dedup
 from dataqualityassistant_spark.ops.textstats import (
     with_token_count,
     with_quality_score,
@@ -34,6 +35,9 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "asof_join",
+    "canonicalize_url",
+    "registered_domain",
+    "url_dedup",
     "cosine_topk",
     "lsh_bucket_ids",
     "ann_topk_lsh",

@@ -43,6 +43,7 @@ from dataqualityassistant_spark.ops.similarity import (
     embedding_near_dup_pairs,
 )
 from dataqualityassistant_spark.ops.joins import asof_join
+from dataqualityassistant_spark.ops.sampling import stratified_hash_sample
 from dataqualityassistant_spark.ops.urltools import url_dedup
 from dataqualityassistant_spark.ops.textstats import TOKEN_PATTERN, with_fingerprints
 from dataqualityassistant_spark.functions.scrub import SCRUB_PATTERNS, scrub_text_column
@@ -456,6 +457,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return top.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language corpus sampling: keep-decision is
+    ``pmod(xxhash64(doc_id, salt), 1e6) < rate(lang)·1e6`` — a pure JVM
+    filter (no UDF, no shuffle), stable under repartitioning and appends.
+    Literal oracle: an independent pure-Python XXH64 implementation
+    replays every decision (``oracles._stratified_sample_expected``)."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
+    ).select("doc_id", "lang")
+
+
 def q_fingerprints(spark, sf_dir):
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return with_fingerprints(docs).select(
@@ -507,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "perplexity_docs": q_perplexity_docs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "stratified_sample": q_stratified_sample,
         "fingerprints": q_fingerprints,
     }
 

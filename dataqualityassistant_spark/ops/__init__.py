@@ -15,6 +15,11 @@ from dataqualityassistant_spark.ops.dedup import (
     ngram_jaccard_pairs,
 )
 from dataqualityassistant_spark.ops.joins import asof_join
+from dataqualityassistant_spark.ops.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    train_holdout_split,
+)
 from dataqualityassistant_spark.ops.similarity import cosine_topk, lsh_bucket_ids, ann_topk_lsh
 from dataqualityassistant_spark.ops.urltools import canonicalize_url, registered_domain, url_dedup
 from dataqualityassistant_spark.ops.textstats import (
@@ -35,6 +40,9 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "asof_join",
+    "hash_sample",
+    "stratified_hash_sample",
+    "train_holdout_split",
     "canonicalize_url",
     "registered_domain",
     "url_dedup",

@@ -1,0 +1,131 @@
+"""Deterministic hash-based sampling for training-data mixing.
+
+``df.sample`` / ``df.sampleBy`` draw from a seeded RNG *per partition*, so
+the selected rows change whenever the input's partitioning or order changes
+— useless for reproducible corpus mixes, incremental crawls, or held-out
+eval splits that must stay stable across reruns and cluster sizes. The
+standard web-pipeline answer is **content-keyed sampling**: a row is kept
+iff ``hash(id, salt) mod SCALE < fraction·SCALE``. Properties:
+
+* stable under repartitioning, reordering, and incremental appends;
+* per-stratum rates via a broadcast-free literal map lookup;
+* nested: ``sample(f1) ⊆ sample(f2)`` for ``f1 <= f2`` at the same salt,
+  so a 1% pilot corpus is a strict subset of the 10% run;
+* disjoint splits by salt: different salts give independent draws.
+
+Everything is a JVM-side filter over ``xxhash64`` — no UDF, no shuffle, no
+driver involvement; at 100 TB it is a map-only scan. The pure-Python XXH64
+replica below is an INDEPENDENT implementation of the public XXH64 spec
+(matching Spark's ``XxHash64.hashLong`` chaining), used by the literal
+oracle to verify the JVM path and available to callers who need the same
+decision off-cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "SCALE",
+    "hash_sample",
+    "stratified_hash_sample",
+    "train_holdout_split",
+    "xxhash64_long",
+    "sample_bucket",
+]
+
+SCALE = 1_000_000  # sampling resolution: fractions are exact to 1e-6
+
+
+def _bucket_col(id_col: Column | str, salt: int) -> Column:
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        F.xxhash64(col.cast("long"), F.lit(int(salt)).cast("long")), F.lit(SCALE)
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: int = 42
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows keyed by ``id_col``.
+
+    NULL ids all hash to one bucket (kept or dropped together) — filter
+    them first if that matters."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(_bucket_col(id_col, salt) < int(round(fraction * SCALE)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    ``{"en": 0.1, "de": 0.5}``). Strata absent from ``fractions`` — and NULL
+    strata — use ``default_fraction``. The thresholds ride a literal
+    ``create_map``: no join, no shuffle, one codegen'd filter."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    pairs: list[Column] = []
+    for k, v in fractions.items():
+        pairs += [F.lit(k), F.lit(int(round(v * SCALE)))]
+    thr = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)] if pairs else F.lit(None).cast("int"),
+        F.lit(int(round(default_fraction * SCALE))),
+    )
+    return df.where(_bucket_col(id_col, salt) < thr)
+
+
+def train_holdout_split(
+    df: DataFrame, holdout: float = 0.01, id_col: str = "doc_id", salt: int = 777
+) -> DataFrame:
+    """Add a ``split`` column ('holdout' / 'train'): a stable eval carve-out
+    that survives reruns and corpus growth (a doc never migrates between
+    splits as data is appended). Use a salt distinct from any sampling salt
+    so the holdout is an independent draw."""
+    return df.withColumn(
+        "split",
+        F.when(_bucket_col(id_col, salt) < int(round(holdout * SCALE)), "holdout")
+        .otherwise("train"),
+    )
+
+
+# ------------------------------------------------- pure-Python XXH64 replica
+
+_M = (1 << 64) - 1
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """XXH64 of one 64-bit integer (the 8-byte specialized path of the
+    public XXH64 spec), as a SIGNED int64 — numerically identical to
+    Spark SQL ``xxhash64(CAST(value AS BIGINT))`` with the same seed.
+    Chain calls (``xxhash64_long(b, xxhash64_long(a))``) for multi-column
+    hashes, matching Spark's left-to-right fold."""
+    h = (seed + _P5 + 8) & _M
+    h ^= (_rotl(((value & _M) * _P2) & _M, 31) * _P1) & _M
+    h = (_rotl(h, 27) * _P1 + _P4) & _M
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def sample_bucket(value: int, salt: int = 42) -> int:
+    """Driver-side replica of the row's sampling bucket:
+    ``pmod(xxhash64(value, salt), SCALE)``."""
+    h = xxhash64_long(salt, xxhash64_long(value))
+    return h % SCALE  # Python % is already non-negative for positive modulus

@@ -1,8 +1,9 @@
 """Driver-side literal oracles for the hash/model-based queries.
 
-Six of the ``__spark_entry__.queries()`` entries (minhash/simhash candidate
-pairs, langid, perplexity, LSH ANN top-k, winnowing fingerprints) have no
-ANSI-SQL equivalent a plain DuckDB statement can express. They ARE fully
+The hash/model-based ``__spark_entry__.queries()`` entries (minhash/simhash
+candidate pairs, langid, perplexity, LSH ANN top-k, winnowing fingerprints,
+xxhash64 stratified sampling) have no ANSI-SQL equivalent a plain DuckDB
+statement can express. They ARE fully
 deterministic (fixed seeds, fixed hash parameters), so this module computes
 the expected output *serially, driver-side, without Spark*:
 
@@ -38,6 +39,7 @@ import pyarrow.parquet as pq
 from dataqualityassistant_spark.functions.langid import classify_text
 from dataqualityassistant_spark.functions.perplexity import log_perplexity
 from dataqualityassistant_spark.ops.dedup import minhash_signature_batch, simhash_one
+from dataqualityassistant_spark.ops.sampling import SCALE, sample_bucket
 from dataqualityassistant_spark.ops.similarity import _planes, query_bucket
 from dataqualityassistant_spark.ops.textstats import winnow_fingerprints
 
@@ -196,6 +198,27 @@ def _fingerprints_expected(sf_dir: str) -> list[tuple]:
     return rows
 
 
+@lru_cache(maxsize=4)
+def _docs_lang(sf_dir: str) -> tuple[tuple[int, str | None], ...]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return tuple(zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist()))
+
+
+def _stratified_sample_expected(sf_dir: str) -> list[tuple]:
+    """Deterministic per-language sampling decisions, recomputed with the
+    pure-Python XXH64 replica (an independent implementation of the public
+    XXH64 spec — the Spark side uses the JVM's ``xxhash64``, sharing no
+    code with this check)."""
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    default = 0.05
+    rows = []
+    for i, lang in _docs_lang(sf_dir):
+        f = fractions.get(lang, default) if lang is not None else default
+        if sample_bucket(i) < int(round(f * SCALE)):
+            rows.append((i, lang))
+    return rows
+
+
 def _ann_candidate_ids(sf_dir: str, n_planes: int = 8, seed: int = 42,
                        n_tables: int = 1) -> list[int]:
     """vec_ids landing in the query's probe buckets in ANY of the
@@ -257,6 +280,11 @@ def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             _perplexity_expected(sf_dir),
             ["doc_id", "log_ppl"],
             [_sql_bigint, _sql_double],
+        ),
+        "stratified_sample": values_sql(
+            _stratified_sample_expected(sf_dir),
+            ["doc_id", "lang"],
+            [_sql_bigint, _sql_varchar],
         ),
         "fingerprints": values_sql(
             _fingerprints_expected(sf_dir),

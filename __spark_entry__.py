@@ -43,6 +43,7 @@ from dataqualityassistant_spark.ops.similarity import (
     embedding_near_dup_pairs,
 )
 from dataqualityassistant_spark.ops.joins import asof_join
+from dataqualityassistant_spark.ops.ivf import ivf_topk, train_ivf_centroids
 from dataqualityassistant_spark.ops.sampling import stratified_hash_sample
 from dataqualityassistant_spark.ops.urltools import url_dedup
 from dataqualityassistant_spark.ops.textstats import TOKEN_PATTERN, with_fingerprints
@@ -457,6 +458,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     return top.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: spherical-kmeans codebook (deterministic driver-side fit),
+    vectorized nearest-centroid assignment, nprobe-list candidate scan,
+    exact cosine top-k inside. Literal oracle: the codebook comes from the
+    same pure ``kmeans_fit``; assignment + probe selection are reimplemented
+    as plain-Python scalar loops in ``oracles._ivf_candidate_ids`` and the
+    cosine scoring/ordering stays in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = train_ivf_centroids(emb, n_centroids=16, n_iters=8)
+    top = ivf_topk(emb, cents, q, k=10, nprobe=4)
+    return top.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language corpus sampling: keep-decision is
     ``pmod(xxhash64(doc_id, salt), 1e6) < rate(lang)·1e6`` — a pure JVM
@@ -520,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "perplexity_docs": q_perplexity_docs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "stratified_sample": q_stratified_sample,
         "fingerprints": q_fingerprints,
     }

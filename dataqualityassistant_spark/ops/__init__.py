@@ -15,6 +15,14 @@ from dataqualityassistant_spark.ops.dedup import (
     ngram_jaccard_pairs,
 )
 from dataqualityassistant_spark.ops.joins import asof_join
+from dataqualityassistant_spark.ops.ivf import (
+    ivf_assign,
+    ivf_topk,
+    ivf_topk_indexed,
+    kmeans_fit,
+    train_ivf_centroids,
+    write_ivf_index,
+)
 from dataqualityassistant_spark.ops.sampling import (
     hash_sample,
     stratified_hash_sample,
@@ -40,6 +48,12 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "asof_join",
+    "ivf_assign",
+    "ivf_topk",
+    "ivf_topk_indexed",
+    "kmeans_fit",
+    "train_ivf_centroids",
+    "write_ivf_index",
     "hash_sample",
     "stratified_hash_sample",
     "train_holdout_split",

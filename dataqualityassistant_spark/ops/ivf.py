@@ -1,0 +1,183 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The second ANN scale path next to random-hyperplane LSH
+(``ops/similarity.py``): a small spherical k-means codebook is trained
+driver-side on a deterministic sample, every vector is assigned to its
+nearest centroid in one vectorized Arrow stage, and a query probes only the
+``nprobe`` nearest centroids' inverted lists. With the index written
+``partitionBy(centroid_id)``, the probe filter is partition pruning — a
+top-k over 10^12 vectors reads ~``nprobe/n_centroids`` of the files.
+
+Scale shape:
+
+* training: ``kmeans_fit`` is numpy Lloyd's over a DRIVER-SIDE sample —
+  the standard IVF recipe (FAISS trains on ~10^5–10^6 samples regardless
+  of corpus size). The sample is hash-deterministic (``ops/sampling``), so
+  the codebook is reproducible across runs and cluster sizes;
+* assignment: one ``argmax(X @ C.T)`` matmul per Arrow batch — no shuffle,
+  no per-row Python;
+* search: centroid scoring is driver-side metadata math (``n_centroids``
+  floats), the candidate scan is one filter + ``cosine_topk``'s
+  TakeOrderedAndProject (per-partition heaps, no global sort).
+
+Spherical k-means (unit-normalized vectors and centroids, cosine
+assignment) is used throughout so the coarse quantizer agrees with the
+final cosine scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .sampling import SCALE
+from .similarity import cosine_topk
+
+__all__ = [
+    "kmeans_fit",
+    "train_ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
+    "write_ivf_index",
+    "ivf_topk_indexed",
+]
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def kmeans_fit(vectors: np.ndarray, n_centroids: int, n_iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd's) on a float64 matrix.
+
+    Init is the first ``n_centroids`` DISTINCT unit vectors in row order —
+    callers pass rows sorted by id, making the whole fit a pure function of
+    the sample (no RNG), which is what lets the serial oracle reproduce the
+    codebook exactly. Empty clusters keep their previous centroid."""
+    x = _unit_rows(np.asarray(vectors, dtype=np.float64))
+    seen: list[np.ndarray] = []
+    for row in x:
+        if not any(np.array_equal(row, s) for s in seen):
+            seen.append(row)
+        if len(seen) == n_centroids:
+            break
+    if len(seen) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} distinct vectors to init, got {len(seen)}")
+    c = np.stack(seen)
+    for _ in range(n_iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.sum(axis=0)
+        c = _unit_rows(c)
+    return c
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float = 1.0,
+    n_iters: int = 10,
+    salt: int = 4242,
+) -> np.ndarray:
+    """Collect a hash-deterministic sample of embeddings to the driver and
+    fit the codebook. ``sample_fraction`` should target ~10^5–10^6 rows at
+    production scale (e.g. 1e-6 at 10^12 rows) — the ONLY collect in the
+    IVF path, and it is bounded by that fraction."""
+    sampled = df.where(F.col(vec_col).isNotNull())
+    if sample_fraction < 1.0:
+        keep = F.pmod(F.xxhash64(F.col(id_col).cast("long"), F.lit(salt).cast("long")),
+                      F.lit(SCALE)) < int(round(sample_fraction * SCALE))
+        sampled = sampled.where(keep)
+    rows = sampled.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])  # id order => deterministic fit
+    return kmeans_fit(np.array([list(r[1]) for r in rows]), n_centroids, n_iters)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid id per row: one ``argmax(X @ C.T)`` per Arrow batch.
+    The codebook ships in the UDF closure (n_centroids × dim floats —
+    metadata-sized, no broadcast variable needed)."""
+    c = _unit_rows(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        valid = vecs.notna().to_numpy()
+        if valid.any():
+            m = _unit_rows(np.stack(vecs[valid].to_numpy()).astype(np.float64))
+            out[valid] = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def probe_centroids(centroids: np.ndarray, query, nprobe: int) -> list[int]:
+    """The ``nprobe`` centroid ids nearest (cosine) to the query — pure
+    driver-side metadata math."""
+    c = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    q = np.asarray([float(v) for v in query], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    sims = c @ q
+    order = np.lexsort((np.arange(len(sims)), -sims))  # sim desc, id asc tiebreak
+    return [int(i) for i in order[:nprobe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query,
+    k: int = 10,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over an unindexed table: assign + probe-filter in one scan,
+    exact cosine only inside the probed lists."""
+    probes = probe_centroids(centroids, query, nprobe)
+    cand = ivf_assign(df, centroids, vec_col).where(F.col("centroid_id").isin(probes))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def write_ivf_index(
+    df: DataFrame, path: str, centroids: np.ndarray, vec_col: str = "embedding"
+) -> None:
+    """Persist the corpus partitioned by centroid id (pre-repartitioned so
+    each inverted list is written by one task, not tasks × lists fan-out)."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    assigned.repartition(F.col("centroid_id")).write.mode("overwrite").partitionBy(
+        "centroid_id").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query,
+    k: int = 10,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k against a written IVF index: the centroid filter is a
+    PartitionFilter — unprobed lists are pruned at file-listing time."""
+    probes = probe_centroids(centroids, query, nprobe)
+    cand = spark.read.parquet(path).where(F.col("centroid_id").isin(probes))
+    return cosine_topk(cand, query, k, vec_col, id_col)

@@ -39,6 +39,7 @@ import pyarrow.parquet as pq
 from dataqualityassistant_spark.functions.langid import classify_text
 from dataqualityassistant_spark.functions.perplexity import log_perplexity
 from dataqualityassistant_spark.ops.dedup import minhash_signature_batch, simhash_one
+from dataqualityassistant_spark.ops.ivf import kmeans_fit
 from dataqualityassistant_spark.ops.sampling import SCALE, sample_bucket
 from dataqualityassistant_spark.ops.similarity import _planes, query_bucket
 from dataqualityassistant_spark.ops.textstats import winnow_fingerprints
@@ -240,6 +241,37 @@ def _ann_candidate_ids(sf_dir: str, n_planes: int = 8, seed: int = 42,
     return sorted(hit)
 
 
+def _ivf_candidate_ids(sf_dir: str, n_centroids: int = 16, n_iters: int = 8,
+                       nprobe: int = 4) -> list[int]:
+    """vec_ids assigned to the query's ``nprobe`` nearest centroids. The
+    codebook is the shared pure ``kmeans_fit`` (plumbing parity); the
+    assignment + probe-selection logic is reimplemented here as plain
+    scalar loops, independent of the executor's vectorized argmax."""
+    embs = _embeddings(sf_dir)
+    valid = sorted(((i, e) for i, e in embs if e is not None), key=lambda t: t[0])
+    cents = kmeans_fit(np.array([e for _, e in valid], dtype=np.float64),
+                       n_centroids, n_iters)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    def nearest(v) -> int:
+        u = unit([float(x) for x in v])
+        best, best_sim = 0, -2.0
+        for j in range(len(cents)):
+            s = sum(a * float(b) for a, b in zip(u, cents[j]))
+            if s > best_sim:
+                best, best_sim = j, s
+        return best
+
+    q = unit([float(x) for x in next(e for i, e in embs if i == 0)])
+    sims = [(sum(a * float(b) for a, b in zip(q, cents[j])), j) for j in range(len(cents))]
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    probes = {j for _, j in sims[:nprobe]}
+    return sorted(i for i, e in valid if nearest(e) in probes)
+
+
 # --------------------------------------------------------------- public API
 
 @lru_cache(maxsize=4)
@@ -255,6 +287,7 @@ def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         return {}
     ann_ids = _ann_candidate_ids(sf_dir, n_tables=2)
     in_list = ", ".join(str(i) for i in sorted(ann_ids)) or "-1"
+    ivf_in_list = ", ".join(str(i) for i in _ivf_candidate_ids(sf_dir)) or "-1"
     return {
         "minhash_dup_pairs": values_sql(
             _minhash_expected(sf_dir),
@@ -294,6 +327,16 @@ def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
         # ANN: only the LSH bucket membership is computed here; the cosine
         # scoring + ordering stays in DuckDB (same shape as the exhaustive
         # topk_cosine oracle, restricted to the probed buckets' members).
+        "ivf_topk": f"""
+            SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id IN ({ivf_in_list})
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+            LIMIT 10
+        """,
         "ann_lsh_topk": f"""
             SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
                    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

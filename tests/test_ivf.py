@@ -1,0 +1,118 @@
+"""IVF ANN: deterministic codebook, assignment parity vs plain-python
+argmax, probe-all == brute force, recall/candidate-fraction behavior, and
+partition pruning on the written index."""
+
+import contextlib
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dataqualityassistant_spark.ops.ivf import (
+    ivf_assign,
+    ivf_topk,
+    ivf_topk_indexed,
+    kmeans_fit,
+    probe_centroids,
+    train_ivf_centroids,
+    write_ivf_index,
+)
+from dataqualityassistant_spark.ops.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(9)
+    # 8 gaussian clusters in 16d so IVF has real structure to find
+    centers = rng.standard_normal((8, 16)) * 3
+    vecs = np.concatenate(
+        [centers[i % 8] + rng.standard_normal(16) * 0.4 for i in range(400)]
+    ).reshape(400, 16).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    return df, vecs
+
+
+def test_kmeans_deterministic_and_unit(corpus):
+    _, vecs = corpus
+    c1 = kmeans_fit(vecs, 8, n_iters=5)
+    c2 = kmeans_fit(vecs, 8, n_iters=5)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_assignment_matches_plain_python(spark, corpus):
+    df, vecs = corpus
+    cents = kmeans_fit(vecs[:100], 8, n_iters=5)
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in ivf_assign(df, cents).select("vec_id", "centroid_id").collect()}
+    for i, v in enumerate(vecs):
+        u = v.astype(np.float64)
+        u = u / np.linalg.norm(u)
+        best, best_sim = 0, -2.0
+        for j, c in enumerate(cents):          # independent scalar loop
+            s = float(sum(a * b for a, b in zip(u, c)))
+            if s > best_sim:
+                best, best_sim = j, s
+        assert got[i] == best, i
+
+
+def test_probe_all_equals_brute_force(spark, corpus):
+    df, vecs = corpus
+    cents = train_ivf_centroids(df, n_centroids=8, n_iters=5)
+    q = vecs[3].tolist()
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    probed = [r["vec_id"] for r in ivf_topk(df, cents, q, k=10, nprobe=8).collect()]
+    assert probed == exact
+
+
+def test_recall_and_candidate_fraction(spark, corpus):
+    df, vecs = corpus
+    cents = train_ivf_centroids(df, n_centroids=8, n_iters=5)
+    recalls = {}
+    for nprobe in (1, 2, 4):
+        hits = 0
+        for qid in range(0, 40, 5):
+            q = vecs[qid].tolist()
+            exact = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
+            got = {r["vec_id"] for r in ivf_topk(df, cents, q, k=10, nprobe=nprobe).collect()}
+            hits += len(exact & got)
+        recalls[nprobe] = hits / (8 * 10)
+    assert recalls[1] >= 0.5           # clustered data: own list already good
+    assert recalls[4] >= recalls[1]    # more probes never hurt
+    assert recalls[4] >= 0.9
+    # candidates actually bounded by the probed lists
+    probes = probe_centroids(cents, vecs[0].tolist(), 2)
+    n_cand = ivf_assign(df, cents).where(F.col("centroid_id").isin(probes)).count()
+    assert n_cand < 400
+
+
+def test_indexed_store_prunes_partitions(spark, corpus, tmp_path):
+    df, vecs = corpus
+    cents = train_ivf_centroids(df, n_centroids=8, n_iters=5)
+    p = str(tmp_path / "ivf")
+    write_ivf_index(df, p, cents)
+    q = vecs[11].tolist()
+    top = ivf_topk_indexed(spark, p, cents, q, k=5, nprobe=2)
+    got = top.toPandas()
+    assert got["vec_id"].iloc[0] == 11
+    unindexed = ivf_topk(df, cents, q, k=5, nprobe=2).toPandas()
+    assert list(got["vec_id"]) == list(unindexed["vec_id"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        top.explain("formatted")
+    pf = [l for l in buf.getvalue().splitlines() if "PartitionFilters" in l][0]
+    assert "centroid_id" in pf and "dynamicpruning" not in pf
+
+
+def test_sampled_training_is_deterministic(spark, corpus):
+    df, _ = corpus
+    c1 = train_ivf_centroids(df, n_centroids=4, sample_fraction=0.5, n_iters=3)
+    c2 = train_ivf_centroids(df.repartition(7), n_centroids=4, sample_fraction=0.5, n_iters=3)
+    assert np.array_equal(c1, c2)

@@ -338,6 +338,24 @@ def q_profile_docs(spark, sf_dir):
     )
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Per-language length quantiles — the profiling aggregate that feeds
+    min/max-length rule suggestions. Exact `percentile` here (sort-based,
+    bit-comparable to DuckDB's quantile_cont); at 100 TB use
+    `approx_percentile` instead — same plan shape, mergeable sketch, no
+    per-group sort (tests/test_ops.py asserts the sketch lands within 1%
+    of exact on this distribution)."""
+    docs = _t(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return (
+        docs.where(F.col("n_chars").isNotNull())
+        .groupBy("lang")
+        .agg(pct.alias("q"), F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select("lang", F.col("q")[0].alias("p25"), F.col("q")[1].alias("p50"),
+                F.col("q")[2].alias("p75"), F.col("q")[3].alias("p95"), "n_docs")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -525,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "profile_docs": q_profile_docs,
         "events_hourly": q_events_hourly,
+        "length_quantiles": q_length_quantiles,
         "fk_orphan_orders": q_fk_orphan_orders,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -724,6 +743,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    MIN(value) AS min_value, MAX(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "length_quantiles": """
+            SELECT lang,
+                   quantile_cont(n_chars, 0.25) AS p25,
+                   quantile_cont(n_chars, 0.5)  AS p50,
+                   quantile_cont(n_chars, 0.75) AS p75,
+                   quantile_cont(n_chars, 0.95) AS p95,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents
+            WHERE n_chars IS NOT NULL
+            GROUP BY lang
         """,
         "fk_orphan_orders": """
             SELECT CAST(COUNT(*) AS BIGINT) AS orphan_count

@@ -576,3 +576,18 @@ def test_dedup_clusters_empty_and_selfloop_edges(spark):
     selfloops = spark.createDataFrame([(5, 5), (5, 6)], "id_a: long, id_b: long")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(selfloops).collect()}
     assert got == {5: 5, 6: 5}
+
+
+def test_approx_percentile_close_to_exact(spark):
+    # the 100 TB path for q_length_quantiles: approx_percentile's mergeable
+    # sketch must land within 1% of the exact sort-based percentile
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    from pyspark.sql import functions as F
+
+    pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    row = docs.where(F.col("n_chars").isNotNull()).agg(
+        F.percentile("n_chars", pcts).alias("exact"),
+        F.approx_percentile("n_chars", pcts, 10_000).alias("approx"),
+    ).first()
+    for e, a in zip(row["exact"], row["approx"]):
+        assert abs(a - e) / max(e, 1.0) < 0.01, (e, a)

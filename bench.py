@@ -46,6 +46,10 @@ HEADLINE = [
     "perplexity_docs",
     "vocab_topk",
     "scrub_pii",
+    "asof_clicks",
+    "url_dedup",
+    "stratified_sample",
+    "ivf_topk",
 ]
 
 

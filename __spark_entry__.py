@@ -43,6 +43,7 @@ from dataqualityassistant_spark.ops.similarity import (
     embedding_near_dup_pairs,
 )
 from dataqualityassistant_spark.ops.joins import asof_join
+from dataqualityassistant_spark.ops.decontaminate import contamination_hits
 from dataqualityassistant_spark.ops.ivf import ivf_topk, train_ivf_centroids
 from dataqualityassistant_spark.ops.sampling import stratified_hash_sample
 from dataqualityassistant_spark.ops.urltools import url_dedup
@@ -397,6 +398,16 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs).select("doc_id", "cluster_id")
 
 
+def q_contamination_hits(spark, sf_dir):
+    """Benchmark decontamination: every 50th doc plays the eval set; count
+    distinct shared word 5-grams per training doc. Corpus shingles are an
+    explode generator (no shuffle); the benchmark shingle set is broadcast;
+    only matched rows reach the hit-count agg."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    return contamination_hits(docs, bench, n=5)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top-200 tokens by document-and-occurrence count —
     the tokenizer-training precursor (explode → two-phase hash agg → top-k
@@ -548,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_clusters": q_dedup_clusters,
         "vocab_topk": q_vocab_topk,
+        "contamination_hits": q_contamination_hits,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "langid_docs": q_langid_docs,
@@ -818,6 +830,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(target) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "contamination_hits": r"""
+            WITH btoks AS (
+                SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+                FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL
+            ),
+            bgrams AS (
+                SELECT DISTINCT ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+                FROM btoks, UNNEST(range(1, len(ws) - 3)) AS t(i) WHERE len(ws) >= 5
+            ),
+            ctoks AS (
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ),
+            cgrams AS (
+                SELECT DISTINCT doc_id,
+                       ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+                FROM ctoks, UNNEST(range(1, len(ws) - 3)) AS t(i) WHERE len(ws) >= 5
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM cgrams JOIN bgrams USING (g)
+            GROUP BY doc_id
         """,
         "vocab_topk": f"""
             SELECT token,

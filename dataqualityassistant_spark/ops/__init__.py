@@ -15,6 +15,11 @@ from dataqualityassistant_spark.ops.dedup import (
     ngram_jaccard_pairs,
 )
 from dataqualityassistant_spark.ops.joins import asof_join
+from dataqualityassistant_spark.ops.decontaminate import (
+    contamination_hits,
+    decontaminate,
+    ngram_shingles,
+)
 from dataqualityassistant_spark.ops.ivf import (
     ivf_assign,
     ivf_topk,
@@ -48,6 +53,9 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "asof_join",
+    "contamination_hits",
+    "decontaminate",
+    "ngram_shingles",
     "ivf_assign",
     "ivf_topk",
     "ivf_topk_indexed",

@@ -45,6 +45,7 @@ from dataqualityassistant_spark.ops.similarity import (
 from dataqualityassistant_spark.ops.joins import asof_join
 from dataqualityassistant_spark.ops.decontaminate import contamination_hits
 from dataqualityassistant_spark.ops.ivf import ivf_topk, train_ivf_centroids
+from dataqualityassistant_spark.ops.packing import pack_sequences
 from dataqualityassistant_spark.ops.sampling import stratified_hash_sample
 from dataqualityassistant_spark.ops.urltools import url_dedup
 from dataqualityassistant_spark.ops.textstats import TOKEN_PATTERN, with_fingerprints
@@ -513,6 +514,17 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_packed_sequences(spark, sf_dir):
+    """Training-sequence packing: word counts → deterministic hash buckets
+    → per-bucket first-fit-decreasing into 400-token bins (applyInPandas;
+    one shuffle on the bucket key). Literal oracle: independent FFD replay
+    + independent XXH64 bucketing in ``oracles._packing_expected``."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    counted = docs.select("doc_id", F.size(words).alias("token_count"))
+    return pack_sequences(counted, max_tokens=400, n_buckets=4)
+
+
 def q_fingerprints(spark, sf_dir):
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return with_fingerprints(docs).select(
@@ -568,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "stratified_sample": q_stratified_sample,
+        "packed_sequences": q_packed_sequences,
         "fingerprints": q_fingerprints,
     }
 

@@ -28,6 +28,7 @@ from dataqualityassistant_spark.ops.ivf import (
     train_ivf_centroids,
     write_ivf_index,
 )
+from dataqualityassistant_spark.ops.packing import ffd_pack, pack_sequences
 from dataqualityassistant_spark.ops.sampling import (
     hash_sample,
     stratified_hash_sample,
@@ -62,6 +63,8 @@ __all__ = [
     "kmeans_fit",
     "train_ivf_centroids",
     "write_ivf_index",
+    "ffd_pack",
+    "pack_sequences",
     "hash_sample",
     "stratified_hash_sample",
     "train_holdout_split",

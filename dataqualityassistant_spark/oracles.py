@@ -241,6 +241,43 @@ def _ann_candidate_ids(sf_dir: str, n_planes: int = 8, seed: int = 42,
     return sorted(hit)
 
 
+def _packing_expected(sf_dir: str, max_tokens: int = 400, n_buckets: int = 4,
+                      salt: int = 4242) -> list[tuple]:
+    """(doc_id, bucket, pack_id) replay: XXH64 bucketing via the
+    independent pure-Python hash (``ops.sampling.xxhash64_long`` — the
+    Spark side uses the JVM's xxhash64) and an independently written
+    first-fit-decreasing pass per id-sorted bucket."""
+    from dataqualityassistant_spark.ops.sampling import xxhash64_long
+
+    by_bucket: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for i, text in _docs(sf_dir):
+        if text is None:
+            continue
+        wc = len([w for w in text.split() if w])
+        b = xxhash64_long(salt, xxhash64_long(i)) % n_buckets
+        by_bucket[b].append((i, wc))
+    rows = []
+    for b, members in by_bucket.items():
+        members.sort()  # canonical id order, as the executor sorts its group
+        order = sorted(range(len(members)), key=lambda j: (-members[j][1], j))
+        bins: list[int] = []  # remaining capacities
+        assigned = [0] * len(members)
+        for j in order:
+            size = members[j][1]
+            placed = None
+            for bi in range(len(bins)):
+                if size <= bins[bi]:
+                    placed = bi
+                    bins[bi] -= size
+                    break
+            if placed is None:
+                bins.append(max(max_tokens - size, 0))
+                placed = len(bins) - 1
+            assigned[j] = placed
+        rows += [(members[j][0], b, assigned[j]) for j in range(len(members))]
+    return sorted(rows)
+
+
 def _ivf_candidate_ids(sf_dir: str, n_centroids: int = 16, n_iters: int = 8,
                        nprobe: int = 4) -> list[int]:
     """vec_ids assigned to the query's ``nprobe`` nearest centroids. The
@@ -313,6 +350,11 @@ def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             _perplexity_expected(sf_dir),
             ["doc_id", "log_ppl"],
             [_sql_bigint, _sql_double],
+        ),
+        "packed_sequences": values_sql(
+            _packing_expected(sf_dir),
+            ["doc_id", "bucket", "pack_id"],
+            [_sql_bigint, _sql_int, _sql_int],
         ),
         "stratified_sample": values_sql(
             _stratified_sample_expected(sf_dir),

@@ -1,3 +1,4 @@
+from dataqualityassistant_spark.sources.wet_text import read_wet, wet_record_expr
 from dataqualityassistant_spark.sources.tables import (
     read_table,
     write_table,
@@ -8,6 +9,8 @@ from dataqualityassistant_spark.sources.tables import (
 )
 
 __all__ = [
+    "read_wet",
+    "wet_record_expr",
     "read_table",
     "write_table",
     "table_exists",

@@ -48,7 +48,11 @@ from dataqualityassistant_spark.ops.ivf import ivf_topk, train_ivf_centroids
 from dataqualityassistant_spark.ops.packing import pack_sequences
 from dataqualityassistant_spark.ops.sampling import stratified_hash_sample
 from dataqualityassistant_spark.ops.urltools import url_dedup
-from dataqualityassistant_spark.ops.textstats import TOKEN_PATTERN, with_fingerprints
+from dataqualityassistant_spark.ops.textstats import (
+    TOKEN_PATTERN,
+    remove_repeated_lines,
+    with_fingerprints,
+)
 from dataqualityassistant_spark.functions.scrub import SCRUB_PATTERNS, scrub_text_column
 from dataqualityassistant_spark.functions.langid import langid_udf
 from dataqualityassistant_spark.functions.perplexity import perplexity_udf
@@ -399,6 +403,16 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs).select("doc_id", "cluster_id")
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Within-document repeated-line removal (C4 repetition cleanup): a
+    3-line document is constructed deterministically (text, text again, a
+    50-char prefix) and collapsed to first occurrences. Oracle: DuckDB
+    order-preserving distinct via list_position."""
+    docs = _t(spark, sf_dir, "documents")
+    built = F.concat_ws("\n", F.col("text"), F.col("text"), F.substring("text", 1, 50))
+    return docs.select("doc_id", remove_repeated_lines(built).alias("cleaned"))
+
+
 def q_contamination_hits(spark, sf_dir):
     """Benchmark decontamination: every 50th doc plays the eval set; count
     distinct shared word 5-grams per training doc. Corpus shingles are an
@@ -572,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "vocab_topk": q_vocab_topk,
         "contamination_hits": q_contamination_hits,
+        "dedup_lines": q_dedup_lines,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "langid_docs": q_langid_docs,
@@ -843,6 +858,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(target) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "dedup_lines": """
+            WITH built AS (
+                SELECT doc_id,
+                       string_split(CASE WHEN text IS NULL THEN ''
+                                         ELSE text || chr(10) || text || chr(10) || substr(text, 1, 50)
+                                    END, chr(10)) AS ls
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_agg(x, chr(10) ORDER BY i) AS cleaned
+            FROM (
+                SELECT doc_id, ls[i] AS x, i
+                FROM built, UNNEST(range(1, len(ls) + 1)) AS t(i)
+                WHERE list_position(ls, ls[i]) = i
+            )
+            GROUP BY doc_id
         """,
         "contamination_hits": r"""
             WITH btoks AS (

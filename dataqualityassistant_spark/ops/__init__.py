@@ -37,6 +37,7 @@ from dataqualityassistant_spark.ops.sampling import (
 from dataqualityassistant_spark.ops.similarity import cosine_topk, lsh_bucket_ids, ann_topk_lsh
 from dataqualityassistant_spark.ops.urltools import canonicalize_url, registered_domain, url_dedup
 from dataqualityassistant_spark.ops.textstats import (
+    remove_repeated_lines,
     with_token_count,
     with_quality_score,
     fingerprint_udf,
@@ -74,6 +75,7 @@ __all__ = [
     "cosine_topk",
     "lsh_bucket_ids",
     "ann_topk_lsh",
+    "remove_repeated_lines",
     "with_token_count",
     "with_quality_score",
     "fingerprint_udf",

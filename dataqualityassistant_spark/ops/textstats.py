@@ -28,6 +28,19 @@ def with_token_count(df: DataFrame, text_col: str = "text", out_col: str = "toke
     return df.withColumn(out_col, token_count_expr(text_col))
 
 
+def remove_repeated_lines(col: Column | str, split_regex: str = r"\n",
+                          join_sep: str = "\n") -> Column:
+    """C4-style within-document repetition removal: keep only the FIRST
+    occurrence of each line (Spark's ``array_distinct`` preserves
+    first-occurrence order). Pure JVM expression — split, distinct, rejoin
+    — so it rides the scan stage with no UDF and no shuffle. NULL in,
+    NULL out. The entry-contract oracle (``dedup_lines``) reimplements the
+    order-preserving distinct independently in DuckDB via
+    ``list_position(ls, ls[i]) = i``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(c, split_regex)), join_sep)
+
+
 def quality_score_expr() -> Column:
     """Composite 0..1 quality score over the derived feature columns
     (requires with_text_features upstream): equal-weight blend of

@@ -591,3 +591,16 @@ def test_approx_percentile_close_to_exact(spark):
     ).first()
     for e, a in zip(row["exact"], row["approx"]):
         assert abs(a - e) / max(e, 1.0) < 0.01, (e, a)
+
+
+def test_remove_repeated_lines(spark):
+    from dataqualityassistant_spark.ops.textstats import remove_repeated_lines
+    from pyspark.sql import functions as F
+
+    rows = [(1, "a\nb\na\nc\nb"), (2, "x"), (3, None), (4, "same\nsame\nsame")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["c"] for r in df.select("i", remove_repeated_lines("t").alias("c")).collect()}
+    assert got == {1: "a\nb\nc", 2: "x", 3: None, 4: "same"}
+    # pure JVM: no python eval nodes
+    plan = df.select(remove_repeated_lines("t"))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

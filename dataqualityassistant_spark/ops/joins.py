@@ -88,12 +88,19 @@ def asof_join(
     # an exact-timestamp right row visible to the left row (inclusive).
     right_side, left_side = (0, 1) if allow_exact_matches else (1, 0)
 
+    # SQL equality semantics: a NULL key matches nothing. Spark's window
+    # partitioning would happily group NULL keys together, so drop null-key
+    # right rows here (null-key LEFT rows then sit in a partition with no
+    # right rows and keep a NULL match, as DuckDB ASOF / merge_asof would).
+    right_key_ok = F.lit(True)
+    for k in keys:
+        right_key_ok = right_key_ok & F.col(k).isNotNull()
     r = right.select(
         *keys,
         F.col(right_ts).alias("__asof_ts"),
         F.lit(right_side).alias("__asof_side"),
         F.struct(*payload_cols).alias("__asof_payload"),
-    ).where(F.col("__asof_ts").isNotNull())
+    ).where(F.col("__asof_ts").isNotNull() & right_key_ok)
     l = left.select(
         *keys,
         F.col(left_ts).alias("__asof_ts"),

@@ -99,6 +99,14 @@ def test_differential_vs_pandas_merge_asof(spark):
             got["val"], want["val"], check_names=False, obj=f"{direction}/tol={tol}")
 
 
+def test_null_keys_never_match(spark):
+    left = spark.createDataFrame([(None, ts(10), "L")], "k int, ts timestamp, tag string")
+    right = spark.createDataFrame([(None, ts(5), 1.0), (1, ts(5), 2.0)],
+                                  "k int, ts timestamp, val double")
+    out = asof_join(left, right, on="k").collect()
+    assert len(out) == 1 and out[0]["val"] is None  # SQL equality: NULL != NULL
+
+
 def test_plan_one_exchange_no_join(spark, sides):
     left, right = sides
     plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()

@@ -1,3 +1,4 @@
+from dataqualityassistant_spark.sources.jsonl import read_jsonl, split_corrupt
 from dataqualityassistant_spark.sources.wet_text import read_wet, wet_record_expr
 from dataqualityassistant_spark.sources.tables import (
     read_table,
@@ -9,6 +10,8 @@ from dataqualityassistant_spark.sources.tables import (
 )
 
 __all__ = [
+    "read_jsonl",
+    "split_corrupt",
     "read_wet",
     "wet_record_expr",
     "read_table",

@@ -204,7 +204,9 @@ def q_suite_documents(spark, sf_dir):
 
 def q_word_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    # explicit ASCII class == RE2 \s (the oracle engine); Java \s would
+    # additionally swallow \x0B and silently diverge on such text
+    words = F.filter(F.split(F.col("text"), "[ \t\n\f\r]+"), lambda w: w != F.lit(""))
     return docs.select(
         "doc_id",
         F.when(F.col("text").isNotNull(), F.size(words)).cast("bigint").alias("word_count"),
@@ -689,9 +691,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS len_chars
             FROM documents
         """,
-        "token_counts": r"""
+        "token_counts": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS token_count
+                   CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS token_count
             FROM documents
         """,
         "dedup_exact": """

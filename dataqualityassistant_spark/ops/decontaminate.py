@@ -40,7 +40,11 @@ def ngram_shingles(
     """(id, shingle) rows: lowercased word ``n``-grams joined with single
     spaces. Docs with fewer than ``n`` words (or NULL text) yield no rows.
     Pure JVM generator — explode adds rows inside the scan stage."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit(""))
+    # explicit ASCII whitespace class instead of \s: Java \s includes \x0B,
+    # RE2 (the DuckDB oracle engine) \s does not — the explicit class means
+    # both engines tokenize identically even on vertical-tab-bearing text
+    words = F.filter(F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+"),
+                     lambda w: w != F.lit(""))
     grams = F.when(
         F.size(words) >= n,
         F.transform(

@@ -566,7 +566,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     strategy — at web scale run it only on LSH candidates; standalone it is
     still bucket-local per shingle (hot shingles = skew; drop top-frequency
     shingles upstream for real corpora)."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    # explicit ASCII class == RE2 \s (the DuckDB oracle engine); Java \s
+    # additionally includes \x0B and would tokenize such text differently
+    words = F.filter(F.split(F.col(text_col), "[ \t\n\f\r]+"), lambda w: w != F.lit(""))
     grams = F.when(
         F.size(words) >= n,
         F.array_distinct(

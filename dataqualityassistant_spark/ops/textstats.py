@@ -15,8 +15,11 @@ from pyspark.sql.functions import pandas_udf
 
 # BPE-ish pre-tokenization: letter runs, digit runs, or single non-space
 # symbols — the standard byte-pair pre-split shape, expressible in both Java
-# regex (JVM regexp_extract_all) and RE2 (DuckDB oracle).
-TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# regex (JVM regexp_extract_all) and RE2 (DuckDB oracle). The whitespace is
+# an EXPLICIT ASCII class, not \s: Java \s includes \x0B where RE2 \s does
+# not, so a bare \s here would tokenize vertical-tab-bearing text
+# differently on the two engines.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 
 
 def token_count_expr(col: Column | str) -> Column:

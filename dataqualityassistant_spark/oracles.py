@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from collections import defaultdict
 from functools import lru_cache
 from itertools import combinations
@@ -253,7 +254,10 @@ def _packing_expected(sf_dir: str, max_tokens: int = 400, n_buckets: int = 4,
     for i, text in _docs(sf_dir):
         if text is None:
             continue
-        wc = len([w for w in text.split() if w])
+        # replicate the Spark side's Java-regex \s+ (ASCII class incl.
+        # \x0B) rather than Python str.split()'s Unicode whitespace —
+        # NBSP/thin-space must count as word chars on both sides
+        wc = len([w for w in re.split("[ \t\n\x0b\f\r]+", text) if w])
         b = xxhash64_long(salt, xxhash64_long(i)) % n_buckets
         by_bucket[b].append((i, wc))
     rows = []

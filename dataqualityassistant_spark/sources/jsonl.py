@@ -47,7 +47,10 @@ def read_jsonl(
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if mode == "permissive" and CORRUPT_COL not in schema.fieldNames():
-        schema = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+        # copy before add(): StructType.add mutates in place and would
+        # inject _corrupt_record into the caller's schema object
+        schema = T.StructType(list(schema.fields)).add(
+            T.StructField(CORRUPT_COL, T.StringType()))
     return (
         spark.read.schema(schema)
         .option("mode", _MODES[mode])

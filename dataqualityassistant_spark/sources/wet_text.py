@@ -7,7 +7,8 @@ pipeline's input shape — ``(url, warc_ts, text)`` — with NO Python in the
 loop:
 
 * the file is split into records by the **text datasource's custom
-  ``lineSep``** (``"WARC/1.0"``): Hadoop's line reader handles records
+  ``lineSep``** (the CRLF-framed record boundary, see ``_DELIM``):
+  Hadoop's line reader handles records
   spanning split boundaries (each split reads past its end to the next
   delimiter), so the source stays fully splittable — a 1 TB WET file scans
   as ~8k independent tasks, no whole-file reads
@@ -29,7 +30,17 @@ from pyspark.sql import functions as F
 
 __all__ = ["read_wet", "wet_record_expr"]
 
-_DELIM = "WARC/1.0"
+# Record boundary = the spec-mandated two CRLFs that terminate a record,
+# plus the next version line INCLUDING its CRLF. Splitting on a bare
+# "WARC/1.0" would tear any document whose extracted text merely mentions
+# the string (pages about web archiving); requiring the full
+# blank-line+version-line+CRLF frame makes an in-body false split need a
+# byte-exact record boundary. Residual risk (a body containing exactly
+# this frame) is inherent to delimiter-framed WET; Content-Length-driven
+# parsing would need a custom input format. WARC is CRLF-delimited per
+# spec; bare-\n files will not split. WARC/1.1 dumps need the delimiter
+# bumped.
+_DELIM = "\r\n\r\nWARC/1.0\r\n"
 
 
 def wet_record_expr(rec) -> list:
@@ -37,7 +48,11 @@ def wet_record_expr(rec) -> list:
     exposed separately so tests and in-memory round-trips can reuse the
     exact parse the file reader applies."""
     url = F.regexp_extract(rec, r"WARC-Target-URI:\s*(\S+)", 1)
-    ts = F.to_timestamp(F.regexp_extract(rec, r"WARC-Date:\s*(\S+)", 1))
+    # try_to_timestamp: Spark 4's default ANSI mode makes to_timestamp
+    # ABORT the whole scan on one malformed/missing WARC-Date header;
+    # crawl dumps always contain a few — they must yield NULL, not kill
+    # the job
+    ts = F.try_to_timestamp(F.regexp_extract(rec, r"WARC-Date:\s*(\S+)", 1))
     # body = everything after the first blank line; the trailing blank line
     # that separates this record from the next delimiter is not content
     body = F.regexp_replace(rec, r"(?s)^.*?\r?\n\r?\n", "")

@@ -47,6 +47,7 @@ from dataqualityassistant_spark.ops.decontaminate import contamination_hits
 from dataqualityassistant_spark.ops.ivf import ivf_topk, train_ivf_centroids
 from dataqualityassistant_spark.ops.packing import pack_sequences
 from dataqualityassistant_spark.ops.sampling import stratified_hash_sample
+from dataqualityassistant_spark.ops.skew import two_phase_distinct_count
 from dataqualityassistant_spark.ops.urltools import url_dedup
 from dataqualityassistant_spark.ops.textstats import (
     TOKEN_PATTERN,
@@ -374,6 +375,14 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_distinct_users_by_type(spark, sf_dir):
+    """Per-key distinct count in the hot-key-safe shape: dedupe on
+    (key, value) — the hot key's rows spread over the cluster — then merge
+    per-key counts. Plan asserted two-exchange in tests/test_skew.py; a
+    naive COUNT(DISTINCT) concentrates one giant hash set per hot key."""
+    return two_phase_distinct_count(_t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
 def q_fk_orphan_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -584,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "length_quantiles": q_length_quantiles,
         "fk_orphan_orders": q_fk_orphan_orders,
+        "distinct_users_by_type": q_distinct_users_by_type,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_clusters": q_dedup_clusters,
         "vocab_topk": q_vocab_topk,
@@ -801,6 +811,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS orphan_count
             FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
         """,
         "ngram_jaccard_dups": r"""
             WITH base AS (

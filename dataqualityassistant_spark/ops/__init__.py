@@ -35,6 +35,11 @@ from dataqualityassistant_spark.ops.sampling import (
     train_holdout_split,
 )
 from dataqualityassistant_spark.ops.similarity import cosine_topk, lsh_bucket_ids, ann_topk_lsh
+from dataqualityassistant_spark.ops.skew import (
+    diagnose_skew,
+    hll_distinct_count,
+    two_phase_distinct_count,
+)
 from dataqualityassistant_spark.ops.urltools import canonicalize_url, registered_domain, url_dedup
 from dataqualityassistant_spark.ops.textstats import (
     remove_repeated_lines,
@@ -69,6 +74,9 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "train_holdout_split",
+    "diagnose_skew",
+    "hll_distinct_count",
+    "two_phase_distinct_count",
     "canonicalize_url",
     "registered_domain",
     "url_dedup",

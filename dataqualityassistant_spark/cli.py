@@ -16,6 +16,15 @@ profile     profile a table (schema, stats, relationships, suggestions)
             --input PATH [--suggest]
 gen-pages   write the deterministic synthetic pages fixture
             --output PATH --rows N [--partitions N]
+dedup       drop duplicate rows by exact text or canonical URL
+            --input PATH --output PATH [--mode exact|url]
+            [--text-col C] [--url-col C] [--id-col C]
+sample      deterministic hash sampling (reproducible, repartition-stable)
+            --input PATH --output PATH --fraction F
+            [--stratify-col C --fractions JSON] [--id-col C] [--salt N]
+decontaminate  drop docs sharing word n-grams with a benchmark table
+            --input PATH --benchmark PATH --output PATH
+            [--ngram N] [--min-hits H] [--text-col C] [--id-col C]
 """
 
 from __future__ import annotations
@@ -70,6 +79,33 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--rows", type=int, required=True)
     p.add_argument("--partitions", type=int, default=None)
+
+    p = sub.add_parser("dedup")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", choices=["exact", "url"], default="exact")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--url-col", default="url")
+    p.add_argument("--id-col", default="doc_id")
+
+    p = sub.add_parser("sample")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--fraction", type=float, required=True)
+    p.add_argument("--stratify-col", default=None)
+    p.add_argument("--fractions", default=None,
+                   help='per-stratum rates as JSON, e.g. {"en": 0.5}; --fraction is the default rate')
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", type=int, default=42)
+
+    p = sub.add_parser("decontaminate")
+    p.add_argument("--input", required=True)
+    p.add_argument("--benchmark", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--ngram", type=int, default=8)
+    p.add_argument("--min-hits", type=int, default=1)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
 
     args = ap.parse_args(argv)
     spark = _session(f"dqa-{args.cmd}", args.cores)
@@ -133,6 +169,56 @@ def main(argv: list[str] | None = None) -> int:
 
         write_pages_fixture(spark, args.output, args.rows, partitions=args.partitions)
         print(json.dumps({"written": args.output, "rows": args.rows}))
+
+    elif args.cmd == "dedup":
+        df = read_table(spark, args.input)
+        n_in = df.count()
+        if args.mode == "exact":
+            from dataqualityassistant_spark.ops.dedup import exact_dedup
+
+            survivors = exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
+        else:
+            from pyspark.sql import functions as F
+            from dataqualityassistant_spark.ops.urltools import url_dedup
+
+            keep = url_dedup(df, url_col=args.url_col, id_col=args.id_col).select(
+                F.col("keep_id").alias(args.id_col))
+            survivors = df.join(keep, args.id_col, "left_semi")
+        survivors.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                          "dropped": n_in - n_out, "mode": args.mode}))
+
+    elif args.cmd == "sample":
+        from dataqualityassistant_spark.ops.sampling import (
+            hash_sample, stratified_hash_sample)
+
+        df = read_table(spark, args.input)
+        n_in = df.count()
+        if args.stratify_col:
+            rates = json.loads(args.fractions) if args.fractions else {}
+            out = stratified_hash_sample(
+                df, rates, strata_col=args.stratify_col, id_col=args.id_col,
+                salt=args.salt, default_fraction=args.fraction)
+        else:
+            out = hash_sample(df, args.fraction, id_col=args.id_col, salt=args.salt)
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                          "fraction": args.fraction}))
+
+    elif args.cmd == "decontaminate":
+        from dataqualityassistant_spark.ops.decontaminate import decontaminate
+
+        df = read_table(spark, args.input)
+        bench = read_table(spark, args.benchmark)
+        n_in = df.count()
+        clean = decontaminate(df, bench, n=args.ngram, min_hits=args.min_hits,
+                              text_col=args.text_col, id_col=args.id_col)
+        clean.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                          "contaminated": n_in - n_out, "ngram": args.ngram}))
 
     spark.stop()
     return 0

@@ -53,3 +53,44 @@ def test_cli_profile_suggests(tmp_path):
     assert len(out["sample_data"]) <= 10
     assert all(len(v) <= 201 for r in out["sample_data"]
                for v in r.values() if isinstance(v, str))
+
+
+def test_cli_dedup_exact(tmp_path):
+    out = str(tmp_path / "deduped")
+    res = run_cli(["dedup", "--input", f"{SF_DIR}/documents.parquet",
+                   "--output", out, "--mode", "exact"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["rows_in"] == 500 and stats["rows_out"] == stats["rows_in"] - stats["dropped"]
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_cli_sample_stratified(tmp_path):
+    out = str(tmp_path / "sampled")
+    res = run_cli(["sample", "--input", f"{SF_DIR}/documents.parquet",
+                   "--output", out, "--fraction", "0.05",
+                   "--stratify-col", "lang", "--fractions", '{"en": 0.5}'])
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert 0 < stats["rows_out"] < stats["rows_in"]
+    # rerun into a second dir: deterministic -> identical row count
+    out2 = str(tmp_path / "sampled2")
+    res2 = run_cli(["sample", "--input", f"{SF_DIR}/documents.parquet",
+                    "--output", out2, "--fraction", "0.05",
+                    "--stratify-col", "lang", "--fractions", '{"en": 0.5}'])
+    stats2 = json.loads([l for l in res2.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats2["rows_out"] == stats["rows_out"]
+
+
+def test_cli_decontaminate(tmp_path):
+    # benchmark = a slice of the corpus itself -> those docs must be dropped
+    bench = str(tmp_path / "bench")
+    res0 = run_cli(["sample", "--input", f"{SF_DIR}/documents.parquet",
+                    "--output", bench, "--fraction", "0.1"])
+    assert res0.returncode == 0, res0.stderr[-2000:]
+    out = str(tmp_path / "clean")
+    res = run_cli(["decontaminate", "--input", f"{SF_DIR}/documents.parquet",
+                   "--benchmark", bench, "--output", out, "--ngram", "5"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["contaminated"] > 0 and stats["rows_out"] < stats["rows_in"]

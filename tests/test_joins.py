@@ -113,3 +113,52 @@ def test_plan_one_exchange_no_join(spark, sides):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_multi_key_asof(spark):
+    left = spark.createDataFrame(
+        [(1, "a", ts(10), 100), (1, "b", ts(10), 101), (2, "a", ts(10), 102)],
+        "k1 int, k2 string, ts timestamp, lid int")
+    right = spark.createDataFrame(
+        [(1, "a", ts(5), 1.0), (1, "b", ts(7), 2.0), (2, "b", ts(1), 3.0)],
+        "k1 int, k2 string, ts timestamp, val double")
+    got = {r["lid"]: r["val"] for r in
+           asof_join(left, right, on=["k1", "k2"]).collect()}
+    assert got == {100: 1.0, 101: 2.0, 102: None}
+
+
+def test_duplicate_left_timestamps_each_match(spark):
+    # several left rows at the SAME (key, ts) must all receive the match
+    left = spark.createDataFrame(
+        [(1, ts(10), i) for i in range(4)], "k int, ts timestamp, lid int")
+    right = spark.createDataFrame([(1, ts(9), 7.5)], "k int, ts timestamp, val double")
+    got = [r["val"] for r in asof_join(left, right, on="k").collect()]
+    assert got == [7.5] * 4
+
+
+def test_fuzz_vs_merge_asof_with_nulls(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    base = pd.Timestamp("2024-06-01")
+    lpd = pd.DataFrame({
+        "k": rng.integers(0, 5, 300),
+        "ts": base + pd.to_timedelta(rng.integers(0, 50_000, 300), unit="s"),
+        "lid": np.arange(300),
+    })
+    # null-ts left rows ride along; they must come back unmatched
+    lpd.loc[lpd.index[:15], "ts"] = pd.NaT
+    rpd = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "ts": base + pd.to_timedelta(rng.integers(0, 50_000, 200), unit="s"),
+        "val": rng.normal(size=200).round(3),
+    }).drop_duplicates(["k", "ts"])
+    got = (asof_join(spark.createDataFrame(lpd), spark.createDataFrame(rpd), on="k")
+           .orderBy("lid").toPandas())
+    assert got.loc[got["ts"].isna(), "val"].isna().all()
+    valid = lpd[lpd["ts"].notna()]
+    want = pd.merge_asof(valid.sort_values("ts"), rpd.sort_values("ts"),
+                         on="ts", by="k").sort_values("lid").reset_index(drop=True)
+    got_valid = got[got["ts"].notna()].reset_index(drop=True)
+    pd.testing.assert_series_equal(got_valid["val"], want["val"], check_names=False)

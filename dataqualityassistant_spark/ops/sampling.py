@@ -38,10 +38,15 @@ __all__ = [
 SCALE = 1_000_000  # sampling resolution: fractions are exact to 1e-6
 
 
-def _bucket_col(id_col: Column | str, salt: int) -> Column:
-    col = F.col(id_col) if isinstance(id_col, str) else id_col
+def _bucket_col(id_col: Column | str, salt: int, key_expr: Column | None = None) -> Column:
+    # default path casts to long so int32/int64 ids hash identically (and
+    # the pure-Python oracle replays them); key_expr opts out for non-numeric
+    # keys (e.g. a url string), hashed as their own type
+    if key_expr is None:
+        col = F.col(id_col) if isinstance(id_col, str) else id_col
+        key_expr = col.cast("long")
     return F.pmod(
-        F.xxhash64(col.cast("long"), F.lit(int(salt)).cast("long")), F.lit(SCALE)
+        F.xxhash64(key_expr, F.lit(int(salt)).cast("long")), F.lit(SCALE)
     )
 
 
@@ -64,11 +69,14 @@ def stratified_hash_sample(
     id_col: str = "doc_id",
     salt: int = 42,
     default_fraction: float = 0.0,
+    key_expr: Column | None = None,
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. language rebalancing:
     ``{"en": 0.1, "de": 0.5}``). Strata absent from ``fractions`` — and NULL
     strata — use ``default_fraction``. The thresholds ride a literal
-    ``create_map``: no join, no shuffle, one codegen'd filter."""
+    ``create_map``: no join, no shuffle, one codegen'd filter.
+    ``key_expr`` replaces the numeric ``id_col`` for non-numeric row keys
+    (e.g. ``F.col("url")``)."""
     for k, v in fractions.items():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
@@ -79,7 +87,7 @@ def stratified_hash_sample(
         F.create_map(*pairs)[F.col(strata_col)] if pairs else F.lit(None).cast("int"),
         F.lit(int(round(default_fraction * SCALE))),
     )
-    return df.where(_bucket_col(id_col, salt) < thr)
+    return df.where(_bucket_col(id_col, salt, key_expr) < thr)
 
 
 def train_holdout_split(

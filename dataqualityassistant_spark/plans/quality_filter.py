@@ -125,6 +125,17 @@ class QualityFilterPipeline:
     # duplicating them doubles output volume at 100 TB (measured 230 MB →
     # 123 MB on the 200k-page corpus). Set to () to keep everything.
     output_drop_columns: tuple = ("text",)
+    # Opt-in pre-scoring stages (both ride the scan — no extra shuffle):
+    # canonicalize_urls rewrites `url` through ops/urltools before bucketing
+    # and lineage, so tracking-param variants of one page share a bucket and
+    # identity; sample_fractions applies deterministic per-`lang` hash
+    # sampling (ops/sampling, keyed on url) BEFORE the expensive Arrow
+    # scoring stage — the cheap way to run a pilot fraction of a crawl.
+    # Note: suite metrics then describe the SAMPLED corpus.
+    canonicalize_urls: bool = False
+    sample_fractions: dict | None = None
+    sample_default_fraction: float = 1.0
+    sample_salt: int = 42
 
     # ------------------------------------------------------------- scoring
 
@@ -132,6 +143,18 @@ class QualityFilterPipeline:
         """Pure transformation: pages → scored rows. Lazy; no jobs run.
         Drops `html` immediately — the binary payload must never cross the
         Arrow boundary (input_hint: carried through but unscanned)."""
+        if self.canonicalize_urls:
+            from dataqualityassistant_spark.ops.urltools import canonicalize_url
+
+            df = df.withColumn("url", canonicalize_url("url"))
+        if self.sample_fractions is not None:
+            from dataqualityassistant_spark.ops.sampling import stratified_hash_sample
+
+            df = stratified_hash_sample(
+                df, self.sample_fractions, strata_col="lang",
+                salt=self.sample_salt,
+                default_fraction=self.sample_default_fraction,
+                key_expr=F.col("url"))
         cols = [c for c in df.columns if c != "html"]
         if self.extract_text_from_html and "html" in df.columns:
             from dataqualityassistant_spark.functions.html_text import html_to_text_column

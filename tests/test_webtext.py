@@ -522,3 +522,29 @@ def test_pipeline_extracts_text_from_html_when_missing(spark):
     # default pipeline leaves missing text missing
     got_off = {r["url"]: r for r in QualityFilterPipeline().score(pdf).select("url", "n_chars").collect()}
     assert got_off["https://a.example/x"]["n_chars"] is None
+
+
+def test_pipeline_optin_sampling_and_canonical_urls(spark):
+    from dataqualityassistant_spark.fixtures import pages_spark_df
+    from dataqualityassistant_spark.plans.quality_filter import QualityFilterPipeline
+    from pyspark.sql import functions as F
+
+    pages = pages_spark_df(spark, 2000)
+    base = QualityFilterPipeline()
+    piped = QualityFilterPipeline(
+        canonicalize_urls=True,
+        sample_fractions={"en": 0.5},
+        sample_default_fraction=0.1,
+    )
+    full = base.score(pages)
+    sampled = piped.score(pages)
+    n_full, n_sampled = full.count(), sampled.count()
+    assert 0 < n_sampled < n_full
+    # deterministic: a second plan over the same input keeps the exact rows
+    again = {r["url"] for r in piped.score(pages).select("url").collect()}
+    assert {r["url"] for r in sampled.select("url").collect()} == again
+    # canonicalization really ran: no uppercase scheme/host, no utm params
+    assert sampled.where(F.col("url").rlike("^HTTPS|utm_")).count() == 0
+    # sampling is a pre-scoring filter: no extra exchange in the scored plan
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("ArrowEvalPython")[0], plan

@@ -58,6 +58,7 @@ from dataqualityassistant_spark.functions.scrub import SCRUB_PATTERNS, scrub_tex
 from dataqualityassistant_spark.functions.langid import langid_udf
 from dataqualityassistant_spark.functions.perplexity import perplexity_udf
 from dataqualityassistant_spark.oracles import fixture_oracle_sql
+from dataqualityassistant_spark.streaming.windowed import windowed_counts
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -347,6 +348,17 @@ def q_profile_docs(spark, sf_dir):
     )
 
 
+def q_events_windowed(spark, sf_dir):
+    """Tumbling event-time windows via F.window — the SAME plan runs
+    streaming with a watermark (streaming/windowed.py; append-mode
+    finalization + late-drop asserted in tests/test_windowed_streaming.py).
+    Oracle: DuckDB time_bucket (windows align to the epoch on both)."""
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_counts(ev, keys=["event_type"], window="30 minutes", watermark=None)
+    return out.select("window_start", "window_end", "event_type", "n",
+                      F.round("avg_value", 6).alias("avg_value"))
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language length quantiles — the profiling aggregate that feeds
     min/max-length rule suggestions. Exact `percentile` here (sort-based,
@@ -592,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_docs": q_profile_docs,
         "events_hourly": q_events_hourly,
         "length_quantiles": q_length_quantiles,
+        "events_windowed": q_events_windowed,
         "fk_orphan_orders": q_fk_orphan_orders,
         "distinct_users_by_type": q_distinct_users_by_type,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -795,6 +808,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    MIN(value) AS min_value, MAX(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+                   time_bucket(INTERVAL '30 minutes', ts) + INTERVAL '30 minutes' AS window_end,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "length_quantiles": """
             SELECT lang,

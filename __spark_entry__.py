@@ -31,6 +31,7 @@ from dataqualityassistant_spark.operators.engine import SuiteEngine
 from dataqualityassistant_spark.ops.dedup import (
     exact_dedup,
     dedup_clusters,
+    drop_near_duplicates,
     minhash_signatures,
     minhash_candidate_pairs,
     simhash,
@@ -476,6 +477,19 @@ def q_minhash_dup_pairs(spark, sf_dir):
     return minhash_candidate_pairs(sigs, bands=16, threshold=0.9, n_hashes=64)
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """END-TO-END near-dup removal: MinHash signatures → banded candidate
+    pairs → transitive clusters → min-id survivor anti-join, one plan.
+    Literal oracle: an independent plain-Python union-find over the
+    independently recomputed candidate pairs (``oracles._survivors_expected``)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("text").isNotNull())
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    both = docs.unionByName(shifted).repartition(spark.sparkContext.defaultParallelism)
+    sigs = minhash_signatures(both, n_hashes=64, shingle=9)
+    pairs = minhash_candidate_pairs(sigs, bands=16, threshold=0.9, n_hashes=64)
+    return drop_near_duplicates(both, pairs).select("doc_id")
+
+
 def q_simhash_dup_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("text").isNotNull())
     shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -613,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_hits": q_contamination_hits,
         "dedup_lines": q_dedup_lines,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "dedup_survivors": q_dedup_survivors,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "langid_docs": q_langid_docs,
         "lang_distribution": q_lang_distribution,

@@ -108,6 +108,7 @@ def _union_with_shifted(docs) -> list[tuple[int, str]]:
 
 # ------------------------------------------------------------ expected rows
 
+@lru_cache(maxsize=4)
 def _minhash_expected(sf_dir: str, n_hashes: int = 64, shingle: int = 9, seed: int = 42,
                       bands: int = 16, threshold: float = 0.9) -> list[tuple]:
     both = _union_with_shifted(_docs(sf_dir))
@@ -133,6 +134,31 @@ def _minhash_expected(sf_dir: str, n_hashes: int = 64, shingle: int = 9, seed: i
         if est >= threshold:
             rows.append((a, b, est))
     return rows
+
+
+def _survivors_expected(sf_dir: str) -> list[tuple]:
+    """Near-dup survivors via an independent union-find over the
+    independently recomputed MinHash candidate pairs: every id not the
+    minimum of its duplicate cluster is dropped; unpaired ids pass."""
+    pairs = _minhash_expected(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # unions always attach the larger root beneath the smaller, so a
+    # cluster's root IS its minimum id; everything else in `parent` loses
+    losers = {x for x in list(parent) if find(x) != x}
+    all_ids = [i for i, t in _union_with_shifted(_docs(sf_dir))]
+    return [(i,) for i in sorted(set(all_ids) - losers)]
 
 
 def _simhash_expected(sf_dir: str, max_hamming: int = 2) -> list[tuple]:
@@ -359,6 +385,11 @@ def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             _packing_expected(sf_dir),
             ["doc_id", "bucket", "pack_id"],
             [_sql_bigint, _sql_int, _sql_int],
+        ),
+        "dedup_survivors": values_sql(
+            _survivors_expected(sf_dir),
+            ["doc_id"],
+            [_sql_bigint],
         ),
         "stratified_sample": values_sql(
             _stratified_sample_expected(sf_dir),

@@ -91,4 +91,5 @@ def test_fixture_oracles_degrade_gracefully_without_testdata():
     got = fixture_oracle_sql(SF_DIR)
     assert set(got) == {"minhash_dup_pairs", "simhash_dup_pairs", "langid_docs",
                         "perplexity_docs", "fingerprints", "ann_lsh_topk",
-                        "lang_distribution", "stratified_sample", "ivf_topk", "packed_sequences"}
+                        "lang_distribution", "stratified_sample", "ivf_topk", "packed_sequences",
+                        "dedup_survivors"}

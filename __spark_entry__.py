@@ -57,6 +57,7 @@ from dataqualityassistant_spark.ops.textstats import (
 )
 from dataqualityassistant_spark.functions.scrub import SCRUB_PATTERNS, scrub_text_column
 from dataqualityassistant_spark.functions.langid import langid_udf
+from dataqualityassistant_spark.functions.normalize import normalize_text_column
 from dataqualityassistant_spark.functions.perplexity import perplexity_udf
 from dataqualityassistant_spark.oracles import fixture_oracle_sql
 from dataqualityassistant_spark.streaming.windowed import windowed_counts
@@ -427,6 +428,17 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs).select("doc_id", "cluster_id")
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode normalization: a decomposed 'cafe'+combining-acute plus a
+    zero-width space is appended deterministically; the op must strip the
+    zero-width char (JVM regexp) and NFC-compose the accent (Arrow UDF).
+    Oracle states the expected composed string directly — an independent
+    spec, not a replay of the regexp/NFC chain."""
+    docs = _t(spark, sf_dir, "documents")
+    built = F.concat(F.col("text"), F.lit(" cafe\u0301\u200b"))
+    return docs.select("doc_id", normalize_text_column(built).alias("normalized"))
+
+
 def q_dedup_lines(spark, sf_dir):
     """Within-document repeated-line removal (C4 repetition cleanup): a
     3-line document is constructed deterministically (text, text again, a
@@ -626,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "contamination_hits": q_contamination_hits,
         "dedup_lines": q_dedup_lines,
+        "normalize_text": q_normalize_text,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "dedup_survivors": q_dedup_survivors,
         "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -911,6 +924,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(target) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "normalize_text": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE text || ' caf' || chr(233) END AS normalized
+            FROM documents
         """,
         "dedup_lines": """
             WITH built AS (

@@ -604,3 +604,23 @@ def test_remove_repeated_lines(spark):
     # pure JVM: no python eval nodes
     plan = df.select(remove_repeated_lines("t"))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_normalize_text_column(spark):
+    from dataqualityassistant_spark.functions.normalize import (
+        normalize_text_column, strip_control_chars)
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "café"),            # decomposed -> composed
+        (2, "a​b\x00c\x07d"),    # zero-width + controls stripped
+        (3, "keep\tthese\nchars\r"),  # tab/newline/CR survive
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", normalize_text_column("t").alias("n")).collect()}
+    assert got == {1: "café", 2: "abcd", 3: "keep\tthese\nchars\r", 4: None}
+    # the control strip alone is pure JVM
+    plan = df.select(strip_control_chars("t"))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -47,7 +47,7 @@ from dataqualityassistant_spark.ops.joins import asof_join
 from dataqualityassistant_spark.ops.decontaminate import contamination_hits
 from dataqualityassistant_spark.ops.ivf import ivf_topk, train_ivf_centroids
 from dataqualityassistant_spark.ops.packing import pack_sequences
-from dataqualityassistant_spark.ops.sampling import stratified_hash_sample
+from dataqualityassistant_spark.ops.sampling import hash_topn_sample, stratified_hash_sample
 from dataqualityassistant_spark.ops.skew import two_phase_distinct_count
 from dataqualityassistant_spark.ops.urltools import url_dedup
 from dataqualityassistant_spark.ops.textstats import (
@@ -577,6 +577,51 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_sample_topn(spark, sf_dir):
+    """Exact-size deterministic sample: 50 rows with the smallest
+    xxhash64(doc_id) — TakeOrderedAndProject (per-partition heaps, no
+    global sort). Literal oracle: the independent pure-Python XXH64 picks
+    the same 50 ids."""
+    return hash_topn_sample(_t(spark, sf_dir, "documents"), 50).select("doc_id", "lang")
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the relational composition
+    (explode → tf agg → df agg → broadcast-sized join → window top-k) that
+    feeds keyword extraction / topic labeling. log() on both engines is
+    IEEE double libm; score rounded to 6 digits for cross-engine parity."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "score", "rn")
+    )
+
+
+def q_nchars_histogram(spark, sf_dir):
+    """Fixed-width histogram of document lengths (20 × 250-char buckets,
+    top-capped): single agg, the profiling shape for rule suggestion."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
+    bucket = F.least(F.floor(F.col("n_chars") / 250), F.lit(19)).cast("int")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.min("n_chars").cast("bigint").alias("lo"),
+             F.max("n_chars").cast("bigint").alias("hi"))
+    )
+
+
 def q_packed_sequences(spark, sf_dir):
     """Training-sequence packing: word counts → deterministic hash buckets
     → per-bucket first-fit-decreasing into 400-token bins (applyInPandas;
@@ -649,6 +694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "stratified_sample": q_stratified_sample,
         "packed_sequences": q_packed_sequences,
+        "sample_topn": q_sample_topn,
+        "tfidf_topterms": q_tfidf_topterms,
+        "nchars_histogram": q_nchars_histogram,
         "fingerprints": q_fingerprints,
     }
 
@@ -947,6 +995,37 @@ def oracle_sql() -> dict[str, str]:
                 WHERE list_position(ls, ls[i]) = i
             )
             GROUP BY doc_id
+        """,
+        "tfidf_topterms": f"""
+            WITH docs AS (
+                SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+            ),
+            toks AS (
+                SELECT doc_id, UNNEST(regexp_extract_all(t, '{TOKEN_PATTERN}')) AS token
+                FROM docs
+            ),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS n_docs FROM docs),
+            scored AS (
+                SELECT tf.doc_id, tf.token,
+                       ROUND(tf.tf * ln(nd.n_docs / dfreq.df), 6) AS score
+                FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, token, score, CAST(rn AS INT) AS rn
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, token ASC) AS rn
+                  FROM scored)
+            WHERE rn <= 3
+        """,
+        "nchars_histogram": """
+            SELECT CAST(LEAST(FLOOR(n_chars / 250), 19) AS INT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(n_chars) AS BIGINT) AS lo,
+                   CAST(MAX(n_chars) AS BIGINT) AS hi
+            FROM documents
+            WHERE n_chars IS NOT NULL
+            GROUP BY 1
         """,
         "contamination_hits": r"""
             WITH btoks AS (

@@ -31,6 +31,7 @@ from dataqualityassistant_spark.ops.ivf import (
 from dataqualityassistant_spark.ops.packing import ffd_pack, pack_sequences
 from dataqualityassistant_spark.ops.sampling import (
     hash_sample,
+    hash_topn_sample,
     stratified_hash_sample,
     train_holdout_split,
 )
@@ -72,6 +73,7 @@ __all__ = [
     "ffd_pack",
     "pack_sequences",
     "hash_sample",
+    "hash_topn_sample",
     "stratified_hash_sample",
     "train_holdout_split",
     "diagnose_skew",

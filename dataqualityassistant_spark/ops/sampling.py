@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "SCALE",
     "hash_sample",
+    "hash_topn_sample",
     "stratified_hash_sample",
     "train_holdout_split",
     "xxhash64_long",
@@ -88,6 +89,21 @@ def stratified_hash_sample(
         F.lit(int(round(default_fraction * SCALE))),
     )
     return df.where(_bucket_col(id_col, salt, key_expr) < thr)
+
+
+def hash_topn_sample(
+    df: DataFrame, n: int, id_col: str = "doc_id", salt: int = 42
+) -> DataFrame:
+    """EXACT-size deterministic sample: the ``n`` rows with the smallest
+    ``xxhash64(id, salt)`` — hash order is pseudo-random, so this is a
+    uniform draw that is stable under repartitioning and reruns (unlike
+    reservoir/rand() sampling). Compiles to TakeOrderedAndProject:
+    per-partition top-n heaps merged on the driver, no global sort. Note
+    it is NOT append-stable (new rows can displace old ones — that is what
+    exact size costs; use :func:`hash_sample` when append stability
+    matters more than exact count)."""
+    h = F.xxhash64(F.col(id_col).cast("long"), F.lit(int(salt)).cast("long"))
+    return df.orderBy(h.asc(), F.col(id_col).asc()).limit(n)
 
 
 def train_holdout_split(

@@ -308,6 +308,17 @@ def _packing_expected(sf_dir: str, max_tokens: int = 400, n_buckets: int = 4,
     return sorted(rows)
 
 
+def _sample_topn_expected(sf_dir: str, n: int = 50, salt: int = 42) -> list[tuple]:
+    """The n rows with the smallest xxhash64(doc_id, salt), replayed with
+    the independent pure-Python XXH64 (Spark side uses the JVM hash)."""
+    from dataqualityassistant_spark.ops.sampling import xxhash64_long
+
+    rows = [(xxhash64_long(salt, xxhash64_long(i)), i, lang)
+            for i, lang in _docs_lang(sf_dir)]
+    rows.sort()
+    return [(i, lang) for _, i, lang in rows[:n]]
+
+
 def _ivf_candidate_ids(sf_dir: str, n_centroids: int = 16, n_iters: int = 8,
                        nprobe: int = 4) -> list[int]:
     """vec_ids assigned to the query's ``nprobe`` nearest centroids. The
@@ -385,6 +396,11 @@ def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             _packing_expected(sf_dir),
             ["doc_id", "bucket", "pack_id"],
             [_sql_bigint, _sql_int, _sql_int],
+        ),
+        "sample_topn": values_sql(
+            _sample_topn_expected(sf_dir),
+            ["doc_id", "lang"],
+            [_sql_bigint, _sql_varchar],
         ),
         "dedup_survivors": values_sql(
             _survivors_expected(sf_dir),

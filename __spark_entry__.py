@@ -892,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(AVG(value), 6) AS avg_value
             FROM events
+            WHERE ts IS NOT NULL
             GROUP BY 1, 2, 3
         """,
         "length_quantiles": """
@@ -973,10 +974,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(target) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
         """,
+        # the base text goes through DuckDB's OWN control-strip + NFC (an
+        # independent implementation of both steps, same strip-then-compose
+        # order as the op), so parity holds even if the fixture ever gains
+        # decomposed accents or control chars; the appended suffix's
+        # expected composed form is stated directly
         "normalize_text": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CASE WHEN text IS NULL THEN NULL
-                        ELSE text || ' caf' || chr(233) END AS normalized
+                        ELSE nfc_normalize(regexp_replace(text,
+                                 '[' || chr(0) || '-' || chr(8) || chr(11) || chr(12)
+                                     || chr(14) || '-' || chr(31) || chr(127) || '-' || chr(159)
+                                     || chr(8203) || '-' || chr(8205) || chr(65279) || ']',
+                                 '', 'g'))
+                             || ' caf' || chr(233) END AS normalized
             FROM documents
         """,
         "dedup_lines": """

@@ -108,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
 
     args = ap.parse_args(argv)
+    if args.cmd == "sample" and args.fractions and not args.stratify_col:
+        ap.error("--fractions requires --stratify-col (rates are per-stratum)")
     spark = _session(f"dqa-{args.cmd}", args.cores)
 
     from dataqualityassistant_spark.sources import read_table
@@ -171,19 +173,27 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"written": args.output, "rows": args.rows}))
 
     elif args.cmd == "dedup":
+        from pyspark.sql import functions as F
+
         df = read_table(spark, args.input)
         n_in = df.count()
+        # rows with a NULL dedup key pass through untouched: a missing
+        # text/url is not evidence of duplication, and grouping NULLs
+        # together would silently delete all but one such row
+        key_col = args.text_col if args.mode == "exact" else args.url_col
+        keyless = df.where(F.col(key_col).isNull())
+        keyed = df.where(F.col(key_col).isNotNull())
         if args.mode == "exact":
             from dataqualityassistant_spark.ops.dedup import exact_dedup
 
-            survivors = exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
+            survivors = exact_dedup(keyed, text_col=args.text_col, id_col=args.id_col)
         else:
-            from pyspark.sql import functions as F
             from dataqualityassistant_spark.ops.urltools import url_dedup
 
-            keep = url_dedup(df, url_col=args.url_col, id_col=args.id_col).select(
+            keep = url_dedup(keyed, url_col=args.url_col, id_col=args.id_col).select(
                 F.col("keep_id").alias(args.id_col))
-            survivors = df.join(keep, args.id_col, "left_semi")
+            survivors = keyed.join(keep, args.id_col, "left_semi")
+        survivors = survivors.unionByName(keyless)
         survivors.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
         print(json.dumps({"rows_in": n_in, "rows_out": n_out,

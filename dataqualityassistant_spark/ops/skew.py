@@ -34,11 +34,15 @@ def diagnose_skew(df: DataFrame, keys: str | list[str], k: int = 20) -> DataFram
     to the two-phase/HLL shapes below."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
     counted = df.groupBy(*key_list).agg(F.count(F.lit(1)).alias("n"))
-    total = df.count()
+    # lazy single-job shape: the total rides a broadcast 1-row aggregate
+    # instead of an eager df.count() (which would scan the corpus once at
+    # call time and again per evaluation)
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("__total"))
     return (
-        counted.orderBy(F.desc("n"), *key_list)
+        counted.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n"), *key_list)
         .limit(k)
-        .withColumn("frac", F.col("n") / F.lit(float(total)))
+        .select(*key_list, "n", (F.col("n") / F.col("__total")).alias("frac"))
     )
 
 
@@ -47,16 +51,14 @@ def two_phase_distinct_count(
 ) -> DataFrame:
     """Exact per-key distinct count as dedupe-then-count: shuffle 1 keys on
     ``(keys, col)`` (hot keys spread across the cluster), shuffle 2 merges
-    per-key partial counts. NULL values are not counted (SQL
-    ``COUNT(DISTINCT ...)`` semantics)."""
+    per-key partial counts. Full SQL ``COUNT(DISTINCT ...)`` semantics:
+    NULL values are not counted, but a key whose values are ALL NULL still
+    appears with a 0 (the ``(key, NULL)`` row survives the dedupe and
+    ``count(col)`` skips it)."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
-    deduped = (
-        df.where(F.col(col).isNotNull())
-        .select(*key_list, col)
-        .distinct()
-    )
+    deduped = df.select(*key_list, col).distinct()
     return deduped.groupBy(*key_list).agg(
-        F.count(F.lit(1)).cast("bigint").alias(out_col))
+        F.count(col).cast("bigint").alias(out_col))
 
 
 def hll_distinct_count(

@@ -40,7 +40,9 @@ def windowed_counts(
 
     ``watermark`` applies only on streaming inputs (bounds state + late
     data); pass ``None`` for pure batch use. Windows align to the epoch,
-    matching DuckDB's ``time_bucket``."""
+    matching DuckDB's ``time_bucket``. Rows with a NULL timestamp are
+    DROPPED (Spark's window rewrite adds an implicit not-null filter) —
+    the ``events_windowed`` oracle filters them identically."""
     keys = keys or []
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)

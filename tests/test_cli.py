@@ -94,3 +94,20 @@ def test_cli_decontaminate(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
     assert stats["contaminated"] > 0 and stats["rows_out"] < stats["rows_in"]
+
+
+def test_cli_dedup_passes_null_text_rows_through(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["same", "same", None, None, None],
+    }), src)
+    out = str(tmp_path / "out")
+    res = run_cli(["dedup", "--input", src, "--output", out, "--mode", "exact"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    # one of the two "same" rows dropped; the three null-text rows all kept
+    assert stats == {"rows_in": 5, "rows_out": 4, "dropped": 1, "mode": "exact"}

@@ -35,7 +35,9 @@ def test_two_phase_ignores_nulls(spark):
     df = spark.createDataFrame(
         [("a", 1), ("a", 1), ("a", None), ("b", None)], "k string, v int")
     got = {r["k"]: r["n_distinct"] for r in two_phase_distinct_count(df, "k", "v").collect()}
-    assert got == {"a": 1}  # b has only NULLs -> no row, matching COUNT(DISTINCT)
+    # SQL COUNT(DISTINCT): nulls don't count, but an all-NULL key keeps its
+    # group with 0 — same rows as GROUP BY + COUNT(DISTINCT v)
+    assert got == {"a": 1, "b": 0}
 
 
 def test_hll_within_error_band(events):

@@ -4,13 +4,14 @@
 metrics over the sf0.001 documents table.
 ``queries()`` / ``oracle_sql()`` — one pair per implemented operator from
 SURVEY.md §2 plus the training-data ops; oracles are ANSI SQL for DuckDB
-over the same parquet views. Ops that SQL cannot express directly (minhash/
-simhash/LSH/langid/perplexity/fingerprints) get literal oracles: the
-expected output is recomputed serially driver-side (shared pure scoring
-functions + independent plain-Python bucketing logic, see ``oracles.py``)
-and rendered as DuckDB VALUES/IN literals, so ALL queries are value-checked
-(not just row-counted) — every ``queries()`` key has an ``oracle_sql()``
-entry.
+over the same parquet views. Ops that SQL cannot express directly (the
+hash/model-based family: minhash/simhash/LSH/IVF, langid, perplexity,
+fingerprints, xxhash64 sampling, FFD packing, near-dup survivors) get
+literal oracles: the expected output is recomputed serially driver-side
+(shared pure scoring functions + independent plain-Python bucketing /
+hashing / union-find logic, see ``oracles.py``) and rendered as DuckDB
+VALUES/IN literals, so ALL queries are value-checked (not just
+row-counted) — every ``queries()`` key has an ``oracle_sql()`` entry.
 
 All computed columns are aliased identically on both sides; counts are cast
 to BIGINT (DuckDB SUM yields HUGEINT otherwise) and ratios computed as

@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-ts", default="")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--waves", type=int, default=1)
+    p.add_argument("--split-bytes", default=None,
+                   help="override spark.sql.files.maxPartitionBytes for the run "
+                        "(e.g. 8m when the input is a few big files)")
 
     p = sub.add_parser("validate")
     p.add_argument("--input", required=True)
@@ -117,7 +120,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "filter":
         from dataqualityassistant_spark.plans.quality_filter import QualityFilterPipeline
 
-        pipe = QualityFilterPipeline(n_buckets=args.buckets)
+        pipe = QualityFilterPipeline(n_buckets=args.buckets,
+                                     input_split_bytes=args.split_bytes)
         stats = pipe.run(
             spark, read_table(spark, args.input), args.output,
             metrics_path=args.metrics, lineage_path=args.lineage,

@@ -136,6 +136,14 @@ class QualityFilterPipeline:
     sample_fractions: dict | None = None
     sample_default_fraction: float = 1.0
     sample_salt: int = 42
+    # Input split sizing for the Arrow scoring stage, applied (and restored)
+    # around run(). The default 128 MB gives one task per ~65k pages: with
+    # few big input files the stage degenerates to a handful of oversized
+    # Arrow tasks and straggler skew dominates (measured 3.2k vs 8.1k
+    # docs/s e2e on an 800k-page corpus — BASELINE.md scaling probe).
+    # "8m"-ish values give several tasks per core; None leaves the session
+    # conf untouched (right when the input is already many files).
+    input_split_bytes: str | None = None
 
     # ------------------------------------------------------------- scoring
 
@@ -205,7 +213,23 @@ class QualityFilterPipeline:
 
     # ------------------------------------------------------------- execution
 
-    def run(
+    def run(self, spark: SparkSession, pages: DataFrame, output_path: str,
+            **kwargs) -> dict:
+        """Execute the pipeline (see :meth:`_run_impl` for the wave
+        mechanics). When ``input_split_bytes`` is set, the session's
+        ``maxPartitionBytes`` is overridden for the duration of the run and
+        restored afterwards (exception-safe)."""
+        if not self.input_split_bytes:
+            return self._run_impl(spark, pages, output_path, **kwargs)
+        split_key = "spark.sql.files.maxPartitionBytes"
+        old_split = spark.conf.get(split_key)
+        spark.conf.set(split_key, self.input_split_bytes)
+        try:
+            return self._run_impl(spark, pages, output_path, **kwargs)
+        finally:
+            spark.conf.set(split_key, old_split)
+
+    def _run_impl(
         self,
         spark: SparkSession,
         pages: DataFrame,

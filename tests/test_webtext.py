@@ -549,3 +549,17 @@ def test_pipeline_optin_sampling_and_canonical_urls(spark):
     # the scan: NO exchange anywhere in the whole scored plan
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pipeline_input_split_bytes_scoped(spark, tmp_path):
+    from dataqualityassistant_spark.fixtures import pages_spark_df
+    from dataqualityassistant_spark.plans.quality_filter import QualityFilterPipeline
+
+    key = "spark.sql.files.maxPartitionBytes"
+    before = spark.conf.get(key)
+    pages = pages_spark_df(spark, 500)
+    out = str(tmp_path / "scored")
+    pipe = QualityFilterPipeline(n_buckets=4, input_split_bytes="8m")
+    stats = pipe.run(spark, pages, out, run_id="split-test")
+    assert stats["rows"] == 500
+    assert spark.conf.get(key) == before  # restored after the run

@@ -48,12 +48,17 @@ from dataqualityassistant_spark.ops.joins import asof_join
 from dataqualityassistant_spark.ops.decontaminate import contamination_hits
 from dataqualityassistant_spark.ops.ivf import ivf_topk, train_ivf_centroids
 from dataqualityassistant_spark.ops.packing import pack_sequences
-from dataqualityassistant_spark.ops.sampling import hash_topn_sample, stratified_hash_sample
+from dataqualityassistant_spark.ops.sampling import (
+    hash_topn_sample,
+    mix_corpus,
+    stratified_hash_sample,
+)
 from dataqualityassistant_spark.ops.skew import two_phase_distinct_count
 from dataqualityassistant_spark.ops.urltools import url_dedup
 from dataqualityassistant_spark.ops.textstats import (
     TOKEN_PATTERN,
     remove_repeated_lines,
+    with_compression_ratio,
     with_fingerprints,
 )
 from dataqualityassistant_spark.functions.scrub import SCRUB_PATTERNS, scrub_text_column
@@ -566,6 +571,14 @@ def q_ivf_topk(spark, sf_dir):
     return top.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib compressed/raw size per document — the cheap repetition /
+    gibberish signal. Literal oracle via the shared pure function
+    (plumbing parity; float64 division is exact on both sides)."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return with_compression_ratio(docs).select("doc_id", "compression_ratio")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language corpus sampling: keep-decision is
     ``pmod(xxhash64(doc_id, salt), 1e6) < rate(lang)·1e6`` — a pure JVM
@@ -576,6 +589,15 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_hash_sample(
         docs, {"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
     ).select("doc_id", "lang")
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Data mixing: rebalance the corpus toward target language weights —
+    one tiny counts aggregation, then a deterministic no-shuffle hash
+    filter. Literal oracle: rates AND keep-decisions recomputed
+    independently (fresh arithmetic + the pure-Python XXH64)."""
+    docs = _t(spark, sf_dir, "documents")
+    return mix_corpus(docs, {"en": 0.4, "de": 0.3, "fr": 0.3}).select("doc_id", "lang")
 
 
 def q_sample_topn(spark, sf_dir):
@@ -696,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "packed_sequences": q_packed_sequences,
         "sample_topn": q_sample_topn,
+        "corpus_mix": q_corpus_mix,
+        "compression_ratio": q_compression_ratio,
         "tfidf_topterms": q_tfidf_topterms,
         "nchars_histogram": q_nchars_histogram,
         "fingerprints": q_fingerprints,

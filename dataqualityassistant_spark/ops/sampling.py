@@ -30,6 +30,8 @@ __all__ = [
     "SCALE",
     "hash_sample",
     "hash_topn_sample",
+    "mix_corpus",
+    "mix_rates",
     "stratified_hash_sample",
     "train_holdout_split",
     "xxhash64_long",
@@ -118,6 +120,42 @@ def train_holdout_split(
         F.when(_bucket_col(id_col, salt) < int(round(holdout * SCALE)), "holdout")
         .otherwise("train"),
     )
+
+
+def mix_rates(counts: dict[str, int], weights: dict[str, float]) -> dict[str, float]:
+    """Per-stratum keep-rates that rebalance a corpus to target ``weights``
+    (e.g. ``{"en": 0.5, "de": 0.3, "fr": 0.2}``) while keeping the largest
+    feasible total: the binding stratum (smallest ``count/weight``) is kept
+    in full and every other stratum is downsampled to proportion. Strata
+    absent from ``weights`` get rate 0. Pure driver-side arithmetic."""
+    pos = {s: w for s, w in weights.items() if w > 0 and counts.get(s, 0) > 0}
+    if not pos:
+        return {s: 0.0 for s in weights}
+    scale = min(counts[s] / w for s, w in pos.items())
+    return {s: (min(1.0, scale * pos[s] / counts[s]) if s in pos else 0.0)
+            for s in weights}
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Rebalance a corpus to target stratum ``weights`` by deterministic
+    hash sampling: ONE small aggregation job fetches per-stratum counts
+    (|strata| rows to the driver), :func:`mix_rates` turns them into
+    keep-rates, and the data path is a single no-shuffle filter. The
+    binding stratum survives intact; the result's proportions match
+    ``weights`` up to sampling noise. Deterministic for a fixed input
+    (rates depend only on the exact per-stratum counts)."""
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+              if r[0] is not None}
+    rates = mix_rates(counts, weights)
+    return stratified_hash_sample(
+        df, rates, strata_col=strata_col, id_col=id_col, salt=salt,
+        default_fraction=0.0)
 
 
 # ------------------------------------------------- pure-Python XXH64 replica

@@ -31,6 +31,29 @@ def with_token_count(df: DataFrame, text_col: str = "text", out_col: str = "toke
     return df.withColumn(out_col, token_count_expr(text_col))
 
 
+def compression_ratio_one(text: str | None) -> float | None:
+    """zlib(level 6) compressed-size / raw-size of one document's UTF-8
+    bytes. A cheap gibberish/repetition signal: highly repetitive or
+    templated text compresses far below normal prose (~0.4–0.6), random
+    gibberish barely compresses (>0.8). Pure function — shared by the
+    Arrow UDF and the driver-side literal oracle (plumbing-parity check;
+    zlib output is deterministic for a fixed library)."""
+    if text is None or len(text) == 0:
+        return None
+    raw = text.encode("utf-8")
+    return len(zlib.compress(raw, 6)) / len(raw)
+
+
+@pandas_udf(T.DoubleType())
+def compression_ratio_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(compression_ratio_one).astype("float64")
+
+
+def with_compression_ratio(df: DataFrame, text_col: str = "text",
+                           out_col: str = "compression_ratio") -> DataFrame:
+    return df.withColumn(out_col, compression_ratio_udf(F.col(text_col)))
+
+
 def remove_repeated_lines(col: Column | str, split_regex: str = r"\n",
                           join_sep: str = "\n") -> Column:
     """C4-style within-document repetition removal: keep only the FIRST

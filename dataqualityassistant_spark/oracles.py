@@ -43,7 +43,7 @@ from dataqualityassistant_spark.ops.dedup import minhash_signature_batch, simhas
 from dataqualityassistant_spark.ops.ivf import kmeans_fit
 from dataqualityassistant_spark.ops.sampling import SCALE, sample_bucket
 from dataqualityassistant_spark.ops.similarity import _planes, query_bucket
-from dataqualityassistant_spark.ops.textstats import winnow_fingerprints
+from dataqualityassistant_spark.ops.textstats import compression_ratio_one, winnow_fingerprints
 
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -218,6 +218,10 @@ def _perplexity_expected(sf_dir: str) -> list[tuple]:
     return rows
 
 
+def _compression_ratio_expected(sf_dir: str) -> list[tuple]:
+    return [(i, compression_ratio_one(t)) for i, t in _docs(sf_dir)]
+
+
 def _fingerprints_expected(sf_dir: str) -> list[tuple]:
     rows = []
     for i, t in _docs(sf_dir):
@@ -308,6 +312,31 @@ def _packing_expected(sf_dir: str, max_tokens: int = 400, n_buckets: int = 4,
     return sorted(rows)
 
 
+def _corpus_mix_expected(sf_dir: str, salt: int = 42) -> list[tuple]:
+    """Rebalance decisions replayed independently: per-language counts from
+    the parquet, the binding-stratum rate arithmetic written fresh (not a
+    call into ops.sampling.mix_rates), thresholds and XXH64 buckets via the
+    independent pure-Python hash."""
+    from dataqualityassistant_spark.ops.sampling import SCALE, xxhash64_long
+
+    weights = {"en": 0.4, "de": 0.3, "fr": 0.3}
+    counts: dict[str, int] = defaultdict(int)
+    for _, lang in _docs_lang(sf_dir):
+        if lang is not None:
+            counts[lang] += 1
+    feasible = [counts[s] / w for s, w in weights.items() if w > 0 and counts.get(s)]
+    scale = min(feasible)
+    thr = {}
+    for s, w in weights.items():
+        rate = min(1.0, scale * w / counts[s]) if (w > 0 and counts.get(s)) else 0.0
+        thr[s] = int(round(rate * SCALE))
+    rows = []
+    for i, lang in _docs_lang(sf_dir):
+        if lang in thr and (xxhash64_long(salt, xxhash64_long(i)) % SCALE) < thr[lang]:
+            rows.append((i, lang))
+    return rows
+
+
 def _sample_topn_expected(sf_dir: str, n: int = 50, salt: int = 42) -> list[tuple]:
     """The n rows with the smallest xxhash64(doc_id, salt), replayed with
     the independent pure-Python XXH64 (Spark side uses the JVM hash)."""
@@ -396,6 +425,16 @@ def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             _packing_expected(sf_dir),
             ["doc_id", "bucket", "pack_id"],
             [_sql_bigint, _sql_int, _sql_int],
+        ),
+        "compression_ratio": values_sql(
+            _compression_ratio_expected(sf_dir),
+            ["doc_id", "compression_ratio"],
+            [_sql_bigint, _sql_double],
+        ),
+        "corpus_mix": values_sql(
+            _corpus_mix_expected(sf_dir),
+            ["doc_id", "lang"],
+            [_sql_bigint, _sql_varchar],
         ),
         "sample_topn": values_sql(
             _sample_topn_expected(sf_dir),

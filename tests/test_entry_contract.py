@@ -92,4 +92,4 @@ def test_fixture_oracles_degrade_gracefully_without_testdata():
     assert set(got) == {"minhash_dup_pairs", "simhash_dup_pairs", "langid_docs",
                         "perplexity_docs", "fingerprints", "ann_lsh_topk",
                         "lang_distribution", "stratified_sample", "ivf_topk", "packed_sequences",
-                        "dedup_survivors", "sample_topn"}
+                        "dedup_survivors", "sample_topn", "corpus_mix", "compression_ratio"}

@@ -624,3 +624,20 @@ def test_normalize_text_column(spark):
     # the control strip alone is pure JVM
     plan = df.select(strip_control_chars("t"))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_compression_ratio_orders_repetitive_below_gibberish(spark):
+    from dataqualityassistant_spark.ops.textstats import (
+        compression_ratio_one, with_compression_ratio)
+    import random
+
+    rng = random.Random(3)
+    gibberish = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))
+    template = "the same boilerplate sentence again and again. " * 40
+    assert compression_ratio_one(template) < 0.2
+    assert compression_ratio_one(gibberish) > 0.5
+    assert compression_ratio_one(None) is None and compression_ratio_one("") is None
+    df = spark.createDataFrame([(1, template), (2, gibberish), (3, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r["compression_ratio"] for r in with_compression_ratio(df).collect()}
+    assert got[1] == compression_ratio_one(template)   # UDF == pure fn exactly
+    assert got[3] is None

@@ -101,3 +101,34 @@ def test_plan_is_a_pure_filter(ids):
     assert "Exchange" not in plan, plan
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, plan
+
+
+def test_mix_rates_arithmetic():
+    from dataqualityassistant_spark.ops.sampling import mix_rates
+
+    # en is binding (1000/0.5=2000 < 9000/0.3=30000): kept in full
+    rates = mix_rates({"en": 1000, "de": 9000, "fr": 4000},
+                      {"en": 0.5, "de": 0.3, "fr": 0.2})
+    assert rates["en"] == 1.0
+    assert abs(rates["de"] - 2000 * 0.3 / 9000) < 1e-12
+    assert abs(rates["fr"] - 2000 * 0.2 / 4000) < 1e-12
+    # weight for a missing/empty stratum -> 0; zero weight -> 0
+    assert mix_rates({"en": 10}, {"en": 1.0, "xx": 0.0}) == {"en": 1.0, "xx": 0.0}
+    assert mix_rates({}, {"en": 1.0}) == {"en": 0.0}
+
+
+def test_mix_corpus_rebalances(spark):
+    rows = ([(i, "en") for i in range(800)] + [(1000 + i, "de") for i in range(3200)]
+            + [(9000 + i, "xx") for i in range(500)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    from dataqualityassistant_spark.ops.sampling import mix_corpus
+
+    out = mix_corpus(df, {"en": 0.5, "de": 0.5})
+    by_lang = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert "xx" not in by_lang                       # unweighted stratum dropped
+    assert by_lang["en"] == 800                      # binding stratum intact
+    assert abs(by_lang["de"] - 800) < 800 * 0.15     # downsampled to parity
+    # deterministic: same input -> identical rows
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in mix_corpus(df.repartition(7), {"en": 0.5, "de": 0.5}).collect()}
+    assert a == b

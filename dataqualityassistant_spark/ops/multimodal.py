@@ -92,15 +92,14 @@ def _pil_decode(payload: bytes, n_features: int) -> tuple[int, int, list[float]]
         return None
 
 
-def _bmp_decode(payload: bytes, n_features: int) -> tuple[int, int, list[float]] | None:
-    """Pure-numpy decoder for uncompressed (BI_RGB) 24/32-bit BMP — the one
-    image format parseable from public spec knowledge without an imaging
-    library. Layout: 14-byte file header ('BM', file size, pixel-data
-    offset) + BITMAPINFOHEADER (width, height signed — positive means
-    bottom-up rows — bpp, compression) + pixel rows padded to 4 bytes, BGR
-    channel order. Features = ``side×side`` block-mean grayscale grid
-    (gray = mean of B,G,R / 255), normalized to [0,1]. Returns None for
-    anything that isn't a well-formed uncompressed BMP."""
+def _bmp_pixels(payload: bytes) -> "np.ndarray | None":
+    """Pure-numpy pixel extraction for uncompressed (BI_RGB) 24/32-bit BMP
+    — the one image format parseable from public spec knowledge without an
+    imaging library. Layout: 14-byte file header ('BM', file size,
+    pixel-data offset) + BITMAPINFOHEADER (width, height signed — positive
+    means bottom-up rows — bpp, compression) + pixel rows padded to 4
+    bytes, BGR channel order. Returns an ``h×w×3`` RGB uint8 array, or
+    None for anything that isn't a well-formed uncompressed BMP."""
     try:
         if len(payload) < 54 or payload[:2] != b"BM":
             return None
@@ -122,7 +121,20 @@ def _bmp_decode(payload: bytes, n_features: int) -> tuple[int, int, list[float]]
         px = raw.reshape(h, stride)[:, : width * ch].reshape(h, width, ch)
         if bottom_up:
             px = px[::-1]
-        gray = px[:, :, :3].astype(np.float32).mean(axis=2) / np.float32(255.0)
+        return px[:, :, :3][:, :, ::-1]  # BGR -> RGB
+    except Exception:
+        return None
+
+
+def _bmp_decode(payload: bytes, n_features: int) -> tuple[int, int, list[float]] | None:
+    """Features from :func:`_bmp_pixels`: ``side×side`` block-mean
+    grayscale grid (gray = channel mean / 255), normalized to [0,1]."""
+    try:
+        rgb = _bmp_pixels(payload)
+        if rgb is None:
+            return None
+        h, width = rgb.shape[:2]
+        gray = rgb.astype(np.float32).mean(axis=2) / np.float32(255.0)
         side = max(int(n_features ** 0.5), 1)
         ys = np.linspace(0, h, side + 1).astype(int)
         xs = np.linspace(0, width, side + 1).astype(int)
@@ -168,6 +180,78 @@ def decode_images(df: DataFrame, n_features: int = 16, allow_fake: bool = True) 
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "features"])
 
     return df.select("media_id", "payload").mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("thumbnail", T.BinaryType()),  # raw RGB, out_h*out_w*3
+    ]
+)
+
+
+def _nn_resize(rgb: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor resize, pure numpy fancy-indexing (the resample
+    every training pipeline starts with; swap for area/bilinear when an
+    imaging library is present)."""
+    h, w = rgb.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return rgb[ys][:, xs]
+
+
+def resize_images(
+    df: DataFrame, out_w: int = 32, out_h: int = 32, allow_fake: bool = True
+) -> DataFrame:
+    """media table → fixed-size raw-RGB thumbnails (``out_h×out_w×3``
+    bytes) via mapInPandas — the resize stage of an image-training
+    pipeline, emitting a uniform tensor-ready column.
+
+    Pixel source tiers mirror :func:`decode_images`: PIL (any format) →
+    pure-numpy BMP (real pixels, always available) → deterministic fake
+    bytes (``allow_fake=True`` only; NULL thumbnail otherwise)."""
+    use_pil = _HAS_PIL
+    n_out = out_h * out_w * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                raw = bytes(payload)
+                rgb = None
+                if use_pil:
+                    try:
+                        import io as _io
+
+                        from PIL import Image
+
+                        img = Image.open(_io.BytesIO(raw)).convert("RGB")
+                        rgb = np.asarray(img, dtype=np.uint8)
+                    except Exception:
+                        rgb = None
+                if rgb is None:
+                    rgb = _bmp_pixels(raw)
+                if rgb is None:
+                    if not allow_fake:
+                        rows.append((mid, None, None, None))
+                        continue
+                    w, h, _ = _fake_decode(raw, 1)
+                    rng = np.random.RandomState(zlib.crc32(raw) & 0x7FFFFFFF)
+                    thumb = rng.randint(0, 256, n_out, dtype=np.int64).astype(np.uint8)
+                    rows.append((mid, w, h, bytearray(thumb.tobytes())))
+                    continue
+                h, w = rgb.shape[:2]
+                thumb = np.ascontiguousarray(_nn_resize(rgb, out_w, out_h), dtype=np.uint8)
+                rows.append((mid, int(w), int(h), bytearray(thumb.tobytes())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "src_width", "src_height", "thumbnail"])
+
+    return df.select("media_id", "payload").mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
 def sample_video_frames(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:

@@ -641,3 +641,41 @@ def test_compression_ratio_orders_repetitive_below_gibberish(spark):
     got = {r["doc_id"]: r["compression_ratio"] for r in with_compression_ratio(df).collect()}
     assert got[1] == compression_ratio_one(template)   # UDF == pure fn exactly
     assert got[3] is None
+
+
+def test_resize_images_real_bmp_and_fake_tiers(spark):
+    """resize stage: a known 2x2 BMP upscaled to 4x4 by nearest neighbor
+    must replicate each source pixel into a 2x2 block (REAL pixels, no
+    imaging library); non-BMP payloads use the marked fake tier (or NULL
+    with allow_fake=False)."""
+    import struct
+    import numpy as np
+    from dataqualityassistant_spark.ops.multimodal import MEDIA_SCHEMA, resize_images
+
+    top = bytes((255, 255, 255)) + bytes((0, 0, 0))
+    bottom = bytes((0, 0, 255)) + bytes((255, 0, 0))       # red, blue in BGR
+    pad = b"\x00\x00"
+    pixels = (bottom + pad) + (top + pad)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels),
+                          2835, 2835, 0, 0)
+    bmp = header + pixels
+    rows = [(1, "image", bytearray(bmp), "image/bmp", len(bmp)),
+            (2, "image", bytearray(b"not an image"), "application/octet-stream", 12)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    got = {r["media_id"]: r for r in resize_images(df, out_w=4, out_h=4).collect()}
+    r1 = got[1]
+    assert (r1["src_width"], r1["src_height"]) == (2, 2)
+    thumb = np.frombuffer(bytes(r1["thumbnail"]), dtype=np.uint8).reshape(4, 4, 3)
+    white, black, red, blue = (255, 255, 255), (0, 0, 0), (255, 0, 0), (0, 0, 255)
+    for y in (0, 1):
+        for x in (0, 1):
+            assert tuple(thumb[y, x]) == white and tuple(thumb[y, x + 2]) == black
+            assert tuple(thumb[y + 2, x]) == red and tuple(thumb[y + 2, x + 2]) == blue
+    assert len(bytes(got[2]["thumbnail"])) == 4 * 4 * 3  # fake tier, right shape
+
+    strict = {r["media_id"]: r for r in
+              resize_images(df, out_w=4, out_h=4, allow_fake=False).collect()}
+    assert strict[1]["thumbnail"] is not None      # real decode still works
+    assert strict[2]["thumbnail"] is None          # no fabricated pixels

@@ -182,6 +182,96 @@ def decode_images(df: DataFrame, n_features: int = 16, allow_fake: bool = True) 
     return df.select("media_id", "payload").mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def _wav_pcm(payload: bytes) -> "tuple[int, int, np.ndarray] | None":
+    """Pure-numpy/struct parser for RIFF/WAVE PCM-16 audio — like the BMP
+    tier, the one audio format readable from public spec knowledge alone.
+    Walks the RIFF chunks ('fmt ' for format, 'data' for samples); returns
+    ``(sample_rate, n_channels, samples)`` with samples as float32 in
+    [-1, 1] (interleaved frames averaged to mono), or None for anything
+    that is not well-formed PCM-16 WAV."""
+    try:
+        if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body = payload[pos + 8:pos + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = (
+                    int.from_bytes(body[0:2], "little"),    # audio format
+                    int.from_bytes(body[2:4], "little"),    # channels
+                    int.from_bytes(body[4:8], "little"),    # sample rate
+                    int.from_bytes(body[14:16], "little"),  # bits/sample
+                )
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_format, n_ch, rate, bits = fmt
+        if audio_format != 1 or bits != 16 or n_ch < 1 or rate <= 0:
+            return None
+        n = (len(data) // (2 * n_ch)) * n_ch
+        if n == 0:
+            return None
+        pcm = np.frombuffer(data, dtype="<i2", count=n).astype(np.float32) / 32768.0
+        mono = pcm.reshape(-1, n_ch).mean(axis=1)
+        return rate, n_ch, mono
+    except Exception:
+        return None
+
+
+def decode_audio(df: DataFrame, allow_fake: bool = True) -> DataFrame:
+    """media table → per-clip audio stats via mapInPandas: sample rate,
+    channels, duration, RMS level, zero-crossing rate (the cheap
+    speech-vs-noise signals). Tiers mirror :func:`decode_images`:
+    pure-numpy PCM-16 WAV (real samples) → deterministic fake
+    (``allow_fake=True`` only; NULL row otherwise)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                raw = bytes(payload)
+                parsed = _wav_pcm(raw)
+                if parsed is None:
+                    if not allow_fake:
+                        rows.append((mid, None, None, None, None, None))
+                        continue
+                    h = zlib.crc32(raw)
+                    rng = np.random.RandomState(h & 0x7FFFFFFF)
+                    rows.append((mid, 16000, 1, float(len(raw)) / 32000.0,
+                                 float(rng.uniform(0.05, 0.5)),
+                                 float(rng.uniform(0.01, 0.3))))
+                    continue
+                rate, n_ch, mono = parsed
+                rms = float(np.sqrt(np.mean(mono * mono)))
+                zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+                rows.append((mid, int(rate), int(n_ch),
+                             float(len(mono)) / float(rate), rms, zcr))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_channels", "duration_sec",
+                "rms", "zero_crossing_rate"])
+
+    return df.select("media_id", "payload").mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

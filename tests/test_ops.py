@@ -679,3 +679,34 @@ def test_resize_images_real_bmp_and_fake_tiers(spark):
               resize_images(df, out_w=4, out_h=4, allow_fake=False).collect()}
     assert strict[1]["thumbnail"] is not None      # real decode still works
     assert strict[2]["thumbnail"] is None          # no fabricated pixels
+
+
+def test_decode_audio_real_wav_and_fake_tiers(spark):
+    """Audio decode: a hand-written PCM-16 WAV (440 Hz sine at 8 kHz) must
+    yield REAL sample-derived stats — exact duration, RMS ~ 1/sqrt(2),
+    zero-crossing rate ~ 2*f/rate; non-WAV payloads fake (or NULL)."""
+    import struct
+    import numpy as np
+    from dataqualityassistant_spark.ops.multimodal import MEDIA_SCHEMA, decode_audio
+
+    rate, dur, f = 8000, 0.5, 440.0
+    t = np.arange(int(rate * dur)) / rate
+    pcm = (np.sin(2 * np.pi * f * t) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    rows = [(1, "audio", bytearray(wav), "audio/wav", len(wav)),
+            (2, "audio", bytearray(b"not audio"), "application/octet-stream", 9)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    got = {r["media_id"]: r for r in decode_audio(df).collect()}
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["n_channels"]) == (8000, 1)
+    assert abs(r1["duration_sec"] - 0.5) < 1e-9
+    assert abs(r1["rms"] - 1 / 2 ** 0.5) < 0.01
+    assert abs(r1["zero_crossing_rate"] - 2 * f / rate) < 0.01
+    assert got[2]["sample_rate"] == 16000  # fake tier marker values
+
+    strict = {r["media_id"]: r for r in decode_audio(df, allow_fake=False).collect()}
+    assert strict[1]["rms"] is not None and strict[2]["rms"] is None

@@ -74,6 +74,20 @@ def _fake_decode(payload: bytes, n_features: int = 16) -> tuple[int, int, list[f
     return int(width), int(height), feats.tolist()
 
 
+def _pil_pixels(payload: bytes) -> "np.ndarray | None":
+    """PIL tier shared by decode and resize: full RGB pixel array, or None
+    for undecodable payloads."""
+    import io as _io
+
+    from PIL import Image
+
+    try:
+        img = Image.open(_io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    except Exception:
+        return None
+
+
 def _pil_decode(payload: bytes, n_features: int) -> tuple[int, int, list[float]] | None:
     """Real decode: dimensions from the image header, features = a 4×4
     grayscale thumbnail (n_features=16) normalized to [0,1]. Returns None
@@ -209,6 +223,9 @@ def _wav_pcm(payload: bytes) -> "tuple[int, int, np.ndarray] | None":
             cid = payload[pos:pos + 4]
             size = int.from_bytes(payload[pos + 4:pos + 8], "little")
             body = payload[pos + 8:pos + 8 + size]
+            if len(body) < size:
+                return None  # truncated chunk (mid-download cut) — reject,
+                # don't report confident stats from partial samples
             if cid == b"fmt " and len(body) >= 16:
                 fmt = (
                     int.from_bytes(body[0:2], "little"),    # audio format
@@ -313,17 +330,7 @@ def resize_images(
                     rows.append((mid, None, None, None))
                     continue
                 raw = bytes(payload)
-                rgb = None
-                if use_pil:
-                    try:
-                        import io as _io
-
-                        from PIL import Image
-
-                        img = Image.open(_io.BytesIO(raw)).convert("RGB")
-                        rgb = np.asarray(img, dtype=np.uint8)
-                    except Exception:
-                        rgb = None
+                rgb = _pil_pixels(raw) if use_pil else None
                 if rgb is None:
                     rgb = _bmp_pixels(raw)
                 if rgb is None:

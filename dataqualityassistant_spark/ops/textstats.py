@@ -37,7 +37,11 @@ def compression_ratio_one(text: str | None) -> float | None:
     templated text compresses far below normal prose (~0.4–0.6), random
     gibberish barely compresses (>0.8). Pure function — shared by the
     Arrow UDF and the driver-side literal oracle (plumbing-parity check;
-    zlib output is deterministic for a fixed library)."""
+    zlib output is deterministic for a fixed library).
+
+    Standalone op by design; if this signal joins the PIPELINE's scoring
+    path, fold it into the ONE fused UDF in ``functions/scoring.py``
+    (CLAUDE.md rule) instead of adding a second Arrow pass per document."""
     if text is None or len(text) == 0:
         return None
     raw = text.encode("utf-8")

@@ -325,6 +325,8 @@ def _corpus_mix_expected(sf_dir: str, salt: int = 42) -> list[tuple]:
         if lang is not None:
             counts[lang] += 1
     feasible = [counts[s] / w for s, w in weights.items() if w > 0 and counts.get(s)]
+    if not feasible:  # no weighted stratum present -> nothing kept (and no
+        return []     # ValueError that would void the whole oracle dict)
     scale = min(feasible)
     thr = {}
     for s, w in weights.items():

@@ -710,3 +710,17 @@ def test_decode_audio_real_wav_and_fake_tiers(spark):
 
     strict = {r["media_id"]: r for r in decode_audio(df, allow_fake=False).collect()}
     assert strict[1]["rms"] is not None and strict[2]["rms"] is None
+
+
+def test_wav_truncated_data_chunk_rejected():
+    import struct
+    from dataqualityassistant_spark.ops.multimodal import _wav_pcm
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pcm = b"\x00\x01" * 100
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    assert _wav_pcm(wav) is not None
+    # declared data size intact but bytes cut off (mid-download truncation)
+    assert _wav_pcm(wav[:-40]) is None

@@ -22,11 +22,14 @@ Layout
                        multimodal plumbing
 """
 
-from dataqualityassistant_spark.rules import Rule, Expectation, normalize_rule_config
+from dataqualityassistant_spark.rules import (Rule, Expectation, normalize_rule_config,
+                                              from_ge_suite, to_ge_suite)
 from dataqualityassistant_spark.operators.engine import SuiteEngine, run_suite
 
 __all__ = [
     "Rule",
+    "from_ge_suite",
+    "to_ge_suite",
     "Expectation",
     "normalize_rule_config",
     "SuiteEngine",

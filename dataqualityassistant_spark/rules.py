@@ -140,3 +140,36 @@ class RuleVersion:
     rule_config: str  # JSON snapshot
     is_current: bool = True
     created_at: str | None = None
+
+
+# ---------------------------------------------------- GE-suite interchange
+
+def from_ge_suite(suite: dict[str, Any], rule_id: int = 1,
+                  table_name: str = "") -> Rule:
+    """Import a Great-Expectations expectation-suite JSON (the public
+    ``expectation_suite_name`` + ``expectations: [{expectation_type,
+    kwargs, meta}]`` format the reference's users already have) as one
+    :class:`Rule`. Unknown expectation types import fine — the compiler
+    reports them with the reference's error string at execution time, so a
+    suite migrates wholesale and the gaps surface explicitly."""
+    name = suite.get("expectation_suite_name") or suite.get("name") or f"ge_suite_{rule_id}"
+    expectations = [
+        {"expectation_type": e["expectation_type"], "kwargs": e.get("kwargs", {})}
+        for e in suite.get("expectations", [])
+    ]
+    meta = suite.get("meta") or {}
+    return Rule(id=rule_id, name=str(name), table_name=table_name,
+                description=str(meta.get("notes", "")), rule_config=expectations)
+
+
+def to_ge_suite(rule: Rule) -> dict[str, Any]:
+    """Export a :class:`Rule` as a Great-Expectations suite dict (round-trips
+    with :func:`from_ge_suite`)."""
+    return {
+        "expectation_suite_name": rule.name,
+        "expectations": [
+            {"expectation_type": e.expectation_type, "kwargs": dict(e.kwargs), "meta": {}}
+            for e in rule.expectations
+        ],
+        "meta": {"notes": rule.description},
+    }

@@ -477,3 +477,36 @@ def test_zscore_two_pass(spark):
     r3 = single(df3, "expect_column_value_z_scores_to_be_less_than",
                 {"column": "v", "threshold": 1.0})
     assert r3["result"]["unexpected_count"] == 0 and r3["success"]
+
+
+def test_ge_suite_import_runs_identically(spark):
+    """A Great-Expectations suite JSON imports as a Rule and produces the
+    SAME engine results as the natively constructed rule; unknown GE types
+    surface as the reference's error dict instead of failing the import."""
+    from dataqualityassistant_spark.rules import Rule, from_ge_suite, to_ge_suite
+    from dataqualityassistant_spark.operators.engine import run_suite
+
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, None, "en"), (3, "c", "xx")], "id long, text string, lang string")
+    ge = {
+        "expectation_suite_name": "docs.basic",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "text", "mostly": 0.5}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "lang", "value_set": ["en"]}},
+            {"expectation_type": "expect_table_to_levitate", "kwargs": {}},
+        ],
+        "meta": {"notes": "migrated from GE"},
+    }
+    imported = from_ge_suite(ge, rule_id=9)
+    native = Rule(id=9, name="docs.basic", rule_config=ge["expectations"])
+    got = run_suite(df, [imported])["results"][0]
+    want = run_suite(df, [native])["results"][0]
+    assert got["results"] == want["results"]
+    kinds = {r["expectation_type"]: r for r in got["results"]}
+    assert kinds["expect_column_values_to_not_be_null"]["success"] is True
+    assert kinds["expect_column_values_to_be_in_set"]["success"] is False
+    assert "not implemented" in kinds["expect_table_to_levitate"]["error"]
+    # round-trip preserves the suite
+    assert from_ge_suite(to_ge_suite(imported), rule_id=9).config_json() == imported.config_json()

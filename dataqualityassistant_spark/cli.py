@@ -137,10 +137,16 @@ def main(argv: list[str] | None = None) -> int:
 
         with open(args.rules) as f:
             rule_rows = json.load(f)
-        rules = [Rule(id=r.get("id", i + 1), name=r.get("name", f"rule_{i+1}"),
-                      table_name=r.get("table_name", args.table_name),
-                      rule_config=r.get("rule_config"))
-                 for i, r in enumerate(rule_rows)]
+        if isinstance(rule_rows, dict) and "expectations" in rule_rows:
+            # a Great-Expectations suite JSON: import it wholesale
+            from dataqualityassistant_spark.rules import from_ge_suite
+
+            rules = [from_ge_suite(rule_rows, rule_id=1, table_name=args.table_name)]
+        else:
+            rules = [Rule(id=r.get("id", i + 1), name=r.get("name", f"rule_{i+1}"),
+                          table_name=r.get("table_name", args.table_name),
+                          rule_config=r.get("rule_config"))
+                     for i, r in enumerate(rule_rows)]
         suite = run_suite(read_table(spark, args.input), rules,
                           table_name=args.table_name,
                           reference_parity=args.reference_parity)

@@ -111,3 +111,20 @@ def test_cli_dedup_passes_null_text_rows_through(tmp_path):
     stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
     # one of the two "same" rows dropped; the three null-text rows all kept
     assert stats == {"rows_in": 5, "rows_out": 4, "dropped": 1, "mode": "exact"}
+
+
+def test_cli_validate_accepts_ge_suite_json(tmp_path):
+    suite = {
+        "expectation_suite_name": "docs.ge",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "text", "mostly": 0.9}},
+        ],
+    }
+    f = tmp_path / "suite.json"
+    f.write_text(json.dumps(suite))
+    res = run_cli(["validate", "--input", f"{SF_DIR}/documents.parquet",
+                   "--rules", str(f), "--table-name", "documents"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert out["total_rules"] == 1 and out["successful_rules"] == 1

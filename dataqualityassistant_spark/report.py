@@ -125,3 +125,28 @@ def to_markdown(suite: dict[str, Any], path: str | None = None) -> str:
         with open(path, "w") as f:
             f.write(text)
     return text
+
+
+def metrics_trend(spark, metrics_path: str):
+    """Quality drift across runs: per (run, rule, expectation) pass rates
+    aggregated from the pipeline's cumulative metrics table — the
+    monitoring query for "is this crawl batch worse than the last one?".
+
+    Waves within a run are merged by re-summing counts (percentages do NOT
+    average across waves of different sizes). One aggregation over a table
+    whose size is O(runs × rules × waves) — metadata-scale even at 10^12
+    input docs, since metrics rows come from `observe`, not the data."""
+    from pyspark.sql import functions as F
+
+    m = spark.read.parquet(metrics_path)
+    return (
+        m.groupBy("run_id", "run_ts", "rule_name", "expectation_type", "column")
+        .agg(F.sum("element_count").cast("bigint").alias("element_count"),
+             F.sum("unexpected_count").cast("bigint").alias("unexpected_count"))
+        .withColumn(
+            "unexpected_percent",
+            F.when(F.col("element_count") > 0,
+                   F.col("unexpected_count") / F.col("element_count") * 100.0)
+            .otherwise(F.lit(0.0)))
+        .orderBy("run_ts", "run_id", "rule_name", "expectation_type")
+    )

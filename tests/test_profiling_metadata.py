@@ -188,3 +188,27 @@ def test_tuned_session_reuses_active(spark):
     from dataqualityassistant_spark.session import tuned_session
     s = tuned_session()  # getOrCreate returns the active test session
     assert s is spark
+
+
+def test_metrics_trend_across_runs(spark, tmp_path):
+    """Two pipeline runs into one metrics table -> one trend row per
+    (run, expectation) with wave counts re-summed, drift visible."""
+    from dataqualityassistant_spark.fixtures import pages_spark_df
+    from dataqualityassistant_spark.plans.quality_filter import QualityFilterPipeline
+    from dataqualityassistant_spark.report import metrics_trend
+
+    metrics = str(tmp_path / "metrics")
+    pipe = QualityFilterPipeline(n_buckets=4)
+    for run_id, run_ts, n in [("r1", "2026-01-01", 200), ("r2", "2026-02-01", 400)]:
+        pages = pages_spark_df(spark, n)
+        pipe.run(spark, pages, str(tmp_path / f"out_{run_id}"),
+                 metrics_path=metrics, run_id=run_id, run_ts=run_ts, waves=2)
+    trend = metrics_trend(spark, metrics).collect()
+    n_exp = len(pipe._expectation_metric_masks())
+    assert len(trend) == 2 * n_exp          # waves merged: one row per run+exp
+    by_run = {}
+    for r in trend:
+        by_run.setdefault(r["run_id"], []).append(r)
+    assert {r["element_count"] for r in by_run["r1"]} == {200}
+    assert {r["element_count"] for r in by_run["r2"]} == {400}
+    assert all(0 <= r["unexpected_percent"] <= 100 for r in trend)

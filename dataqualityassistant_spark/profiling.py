@@ -197,6 +197,41 @@ def suggest_rules(df: DataFrame, table_name: str = "") -> list[dict[str, Any]]:
     return suggestions
 
 
+def suggest_range_rules(df: DataFrame, table_name: str = "",
+                        lower_q: float = 0.005, upper_q: float = 0.995,
+                        mostly: float = 0.99) -> list[dict[str, Any]]:
+    """Data-driven between-bounds suggestions for every numeric column:
+    bounds at robust quantiles (p0.5/p99.5 by default) instead of observed
+    min/max, so one outlier in the profiled sample doesn't bake a useless
+    bound into the rule. ONE aggregation for all columns using
+    ``approx_percentile`` (mergeable sketch — the 100 TB path; exactness
+    is pointless for suggested thresholds). Same suggestion dict shape as
+    :func:`suggest_rules` so the two lists concatenate and
+    ``RuleStore.apply_suggestions`` ingests both."""
+    num_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)]
+    if not num_cols:
+        return []
+    pcts = F.array(F.lit(float(lower_q)), F.lit(float(upper_q)))
+    aggs = [F.approx_percentile(c, pcts, 10_000).alias(c) for c in num_cols]
+    row = df.agg(*aggs).first()
+    out: list[dict[str, Any]] = []
+    for c in num_cols:
+        q = row[c]
+        if q is None or q[0] is None or q[1] is None or q[0] == q[1]:
+            continue  # all-null or constant column: no useful range
+        out.append({
+            "rule_name": f"{c}_typical_range",
+            "table_name": table_name,
+            "rule_config": [{"expectation_type": "expect_column_values_to_be_between",
+                             "kwargs": {"column": c, "min_value": float(q[0]),
+                                        "max_value": float(q[1]), "mostly": mostly}}],
+            "confidence": 60,
+            "reason": (f"column '{c}' observed p{lower_q * 100:g}–p{upper_q * 100:g} "
+                       f"range [{float(q[0]):g}, {float(q[1]):g}]"),
+        })
+    return out
+
+
 def group_suggestions(suggestions: list[dict[str, Any]]) -> dict[str, list[dict[str, Any]]]:
     """Group suggested rules by their column key, mirroring the reference's
     generate-rules grouping (app/main.py:283-299): ``single:{col}`` for

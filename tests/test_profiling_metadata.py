@@ -212,3 +212,20 @@ def test_metrics_trend_across_runs(spark, tmp_path):
     assert {r["element_count"] for r in by_run["r1"]} == {200}
     assert {r["element_count"] for r in by_run["r2"]} == {400}
     assert all(0 <= r["unexpected_percent"] <= 100 for r in trend)
+
+
+def test_suggest_range_rules(spark):
+    from dataqualityassistant_spark.profiling import suggest_range_rules
+    from dataqualityassistant_spark.operators.engine import run_suite
+    from dataqualityassistant_spark.rules import Rule
+
+    rows = [(i, float(i % 100), 7.0, None) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, v double, const double, empty int")
+    sugg = {s["rule_config"][0]["kwargs"]["column"]: s for s in suggest_range_rules(df)}
+    assert "const" not in sugg and "empty" not in sugg   # constant/all-null skipped
+    kw = sugg["v"]["rule_config"][0]["kwargs"]
+    assert 0 <= kw["min_value"] <= 2 and 97 <= kw["max_value"] <= 99
+    # suggestions are runnable rules and pass on the data they were fit on
+    rule = Rule(id=1, name=sugg["v"]["rule_name"], rule_config=sugg["v"]["rule_config"])
+    res = run_suite(df, [rule])["results"][0]["results"][0]
+    assert res["success"] is True

@@ -159,12 +159,13 @@ def main(argv: list[str] | None = None) -> int:
                            "failed_rules", "success_rate")}, default=str))
 
     elif args.cmd == "profile":
-        from dataqualityassistant_spark.profiling import profile_table, suggest_rules
+        from dataqualityassistant_spark.profiling import (
+            profile_table, suggest_range_rules, suggest_rules)
 
         df = read_table(spark, args.input)
         out = profile_table(df)
         if args.suggest:
-            out["suggestions"] = suggest_rules(df)
+            out["suggestions"] = suggest_rules(df) + suggest_range_rules(df)
         # structured trimming, NOT a byte-slice of the serialized JSON (a
         # slice can cut mid-string and emit unparseable output): cap the
         # sample rows and truncate long cell values, keeping the JSON valid

@@ -54,7 +54,7 @@ from dataqualityassistant_spark.ops.sampling import (
     stratified_hash_sample,
 )
 from dataqualityassistant_spark.ops.skew import two_phase_distinct_count
-from dataqualityassistant_spark.ops.urltools import url_dedup
+from dataqualityassistant_spark.ops.urltools import registered_domain, url_dedup
 from dataqualityassistant_spark.ops.textstats import (
     TOKEN_PATTERN,
     remove_repeated_lines,
@@ -342,6 +342,24 @@ def q_url_dedup(spark, sf_dir):
         F.lit("&utm_campaign=x"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")))
     return url_dedup(docs.select("doc_id", messy.alias("url")))
+
+
+def q_domain_distribution(spark, sf_dir):
+    """Per-registered-domain page counts — the host-skew profile every
+    crawl pipeline starts from. Messy URL built from doc_id (userinfo,
+    mixed-case host, port, deep subdomain); the oracle states the expected
+    registered domain from the same arithmetic, independent of the
+    extraction regexes."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("https://user:pw@Crawl"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".CDN.Host"), (F.col("doc_id") % 11).cast("string"),
+        F.lit(".NET:8443/p/"), F.col("doc_id").cast("string"))
+    return (
+        docs.select(registered_domain(messy).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pages"))
+    )
 
 
 def q_profile_docs(spark, sf_dir):
@@ -695,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_user": q_topk_events_per_user,
         "asof_clicks": q_asof_clicks,
         "url_dedup": q_url_dedup,
+        "domain_distribution": q_domain_distribution,
         "profile_docs": q_profile_docs,
         "events_hourly": q_events_hourly,
         "length_quantiles": q_length_quantiles,
@@ -886,6 +905,12 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
                             FROM events WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "domain_distribution": """
+            SELECT 'host' || (doc_id % 11) || '.net' AS domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages
+            FROM documents
+            GROUP BY 1
         """,
         "url_dedup": """
             SELECT 'https://src' || (doc_id % 7) || '.example.com/p/' || (doc_id % 17)

@@ -86,3 +86,53 @@ def test_plan_no_udf_single_agg(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
         assert bad not in plan, plan
     assert plan.count("HashAggregate") == 2, plan  # partial + final, nothing else
+
+
+def test_canonicalize_matches_urllib_reimplementation(spark):
+    """Independent cross-check: the JVM regexp chain vs a from-scratch
+    urllib.parse-based canonicalizer implementing the same spec (lowercase
+    scheme+authority, default ports, www., fragment, tracking params,
+    trailing slashes). No shared code with the op."""
+    import re as _re
+    from urllib.parse import urlsplit
+
+    def py_canon(u):
+        u = u.strip()
+        u = u.split("#", 1)[0]
+        try:
+            parts = urlsplit(u)
+        except ValueError:
+            parts = None
+        if not parts or not parts.scheme or "://" not in u:
+            return u  # not an absolute URL: regex chain leaves it alone too
+        scheme = parts.scheme.lower()
+        netloc = parts.netloc.lower()
+        if scheme == "http" and netloc.endswith(":80"):
+            netloc = netloc[:-3]
+        if scheme == "https" and netloc.endswith(":443"):
+            netloc = netloc[:-4]
+        if netloc.startswith("www.") and scheme in ("http", "https"):
+            netloc = netloc[4:]
+        tracker = _re.compile(r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref|ref_src)=")
+        params = [p for p in parts.query.split("&") if p] if parts.query else []
+        kept = [p for p in params if not tracker.match(p)]
+        path = parts.path
+        if not kept:
+            path = path.rstrip("/")
+        q = ("?" + "&".join(kept)) if kept else ""
+        return f"{scheme}://{netloc}{path}{q}"
+
+    import random
+    rng = random.Random(19)
+    schemes = ["http://", "HTTPS://", "https://WWW.", "http://www."]
+    hosts = ["Example.com", "sub.Example.COM:443", "a-b.org:80", "x.io:9000", "EX.com:443"]
+    paths = ["", "/", "/p", "/p/q/", "/deep/er/path"]
+    queries = ["", "?id=1", "?utm_source=a", "?utm_a=1&utm_b=2&z=3", "?id=1&ref=x&z=2",
+               "?a=1&b=2", "?gclid=9&id=2", "?id=2&msclkid=7"]
+    frags = ["", "#f", "#a=b"]
+    urls = ["".join(rng.choice(p) for p in (schemes, hosts, paths, queries, frags))
+            for _ in range(400)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    for u, g in zip(urls, got):
+        assert g == py_canon(u), f"{u!r}: spark={g!r} urllib={py_canon(u)!r}"

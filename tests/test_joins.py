@@ -162,3 +162,35 @@ def test_fuzz_vs_merge_asof_with_nulls(spark):
                          on="ts", by="k").sort_values("lid").reset_index(drop=True)
     got_valid = got[got["ts"].notna()].reset_index(drop=True)
     pd.testing.assert_series_equal(got_valid["val"], want["val"], check_names=False)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lrows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=1, max_size=60),
+    rrows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=1, max_size=40),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_hypothesis_differential_vs_merge_asof(spark, lrows, rrows, direction):
+    base = pd.Timestamp("2024-03-01")
+    lpd = pd.DataFrame({
+        "k": [k for k, _ in lrows],
+        "ts": [base + pd.Timedelta(seconds=s) for _, s in lrows],
+        "lid": range(len(lrows)),
+    })
+    rpd = pd.DataFrame({
+        "k": [k for k, _ in rrows],
+        "ts": [base + pd.Timedelta(seconds=s) for _, s in rrows],
+        "val": [float(i) for i in range(len(rrows))],
+    }).drop_duplicates(["k", "ts"])  # unique (k, ts) => deterministic winner
+    want = pd.merge_asof(lpd.sort_values(["ts", "lid"]), rpd.sort_values("ts"),
+                         on="ts", by="k", direction=direction
+                         ).sort_values("lid").reset_index(drop=True)
+    got = (asof_join(spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                     on="k", direction=direction)
+           .orderBy("lid").toPandas())
+    pd.testing.assert_series_equal(got["val"], want["val"], check_names=False)

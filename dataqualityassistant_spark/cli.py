@@ -86,10 +86,17 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("dedup")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--mode", choices=["exact", "url"], default="exact")
+    p.add_argument("--mode", choices=["exact", "url", "incremental"], default="exact")
     p.add_argument("--text-col", default="text")
     p.add_argument("--url-col", default="url")
     p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--store", default=None,
+                   help="signature store path (incremental mode: near-dup "
+                        "the batch against all previously accepted batches)")
+    p.add_argument("--batch-id", default=None,
+                   help="idempotent batch key (incremental mode; replaying "
+                        "a crashed batch replaces its own store partition)")
+    p.add_argument("--threshold", type=float, default=0.8)
 
     p = sub.add_parser("sample")
     p.add_argument("--input", required=True)
@@ -191,10 +198,19 @@ def main(argv: list[str] | None = None) -> int:
         # rows with a NULL dedup key pass through untouched: a missing
         # text/url is not evidence of duplication, and grouping NULLs
         # together would silently delete all but one such row
-        key_col = args.text_col if args.mode == "exact" else args.url_col
+        key_col = args.url_col if args.mode == "url" else args.text_col
         keyless = df.where(F.col(key_col).isNull())
         keyed = df.where(F.col(key_col).isNotNull())
-        if args.mode == "exact":
+        if args.mode == "incremental":
+            if not args.store or not args.batch_id:
+                ap.error("--mode incremental requires --store and --batch-id")
+            from dataqualityassistant_spark.ops.dedup import incremental_dedup
+
+            survivors = incremental_dedup(
+                keyed, args.store, args.batch_id,
+                text_col=args.text_col, id_col=args.id_col,
+                threshold=args.threshold)
+        elif args.mode == "exact":
             from dataqualityassistant_spark.ops.dedup import exact_dedup
 
             survivors = exact_dedup(keyed, text_col=args.text_col, id_col=args.id_col)

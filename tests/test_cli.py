@@ -128,3 +128,28 @@ def test_cli_validate_accepts_ge_suite_json(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     out = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
     assert out["total_rules"] == 1 and out["successful_rules"] == 1
+
+
+def test_cli_dedup_incremental_across_batches(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text_a = "a long enough document about spark shuffles " * 4
+    text_b = "a totally different page describing crawlers " * 4
+    b1 = str(tmp_path / "b1.parquet")
+    pq.write_table(pa.table({"doc_id": [1, 2], "text": [text_a, text_b]}), b1)
+    b2 = str(tmp_path / "b2.parquet")
+    pq.write_table(pa.table({"doc_id": [10, 11],
+                             "text": [text_a, "fresh unseen content entirely new " * 4]}), b2)
+    store = str(tmp_path / "store")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    r1 = run_cli(["dedup", "--mode", "incremental", "--input", b1, "--output", out1,
+                  "--store", store, "--batch-id", "b1"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads([l for l in r1.stdout.splitlines() if l.startswith("{")][-1])
+    assert s1["rows_out"] == 2                       # first batch: all new
+    r2 = run_cli(["dedup", "--mode", "incremental", "--input", b2, "--output", out2,
+                  "--store", store, "--batch-id", "b2"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert s2["rows_out"] == 1                       # doc 10 dups batch-1's doc 1

@@ -327,6 +327,20 @@ def q_asof_clicks(spark, sf_dir):
         (sec("ts") - sec("ts_right")).alias("gap_seconds"))
 
 
+def q_asof_next_purchase(spark, sf_dir):
+    """Forward as-of: the first purchase at-or-after each signup, per user
+    — same union+running-last plan with descending traversal. Oracle:
+    DuckDB ASOF LEFT JOIN with `<=` (nearest following row)."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"))
+    j = asof_join(signups, purchases, on="user_id", direction="forward")
+    sec = lambda c: F.col(c).cast("timestamp_ltz").cast("double")  # noqa: E731
+    return j.select("event_id", "user_id", "purchase_id",
+                    (sec("ts_right") - sec("ts")).alias("wait_seconds"))
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + dedup: a deterministically messy URL is built
     from doc_id (mixed case, www., :443, utm_* trackers, fragment) and
@@ -712,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_session_stats": q_user_session_stats,
         "topk_events_per_user": q_topk_events_per_user,
         "asof_clicks": q_asof_clicks,
+        "asof_next_purchase": q_asof_next_purchase,
         "url_dedup": q_url_dedup,
         "domain_distribution": q_domain_distribution,
         "profile_docs": q_profile_docs,
@@ -911,6 +926,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_pages
             FROM documents
             GROUP BY 1
+        """,
+        "asof_next_purchase": """
+            SELECT CAST(s.event_id AS BIGINT) AS event_id,
+                   CAST(s.user_id AS BIGINT) AS user_id,
+                   CAST(p.purchase_id AS BIGINT) AS purchase_id,
+                   epoch(p.ts) - epoch(s.ts) AS wait_seconds
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id
+                            FROM events WHERE event_type = 'purchase') p
+              ON s.user_id = p.user_id AND s.ts <= p.ts
         """,
         "url_dedup": """
             SELECT 'https://src' || (doc_id % 7) || '.example.com/p/' || (doc_id % 17)

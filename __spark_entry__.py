@@ -341,6 +341,27 @@ def q_asof_next_purchase(spark, sf_dir):
                     (sec("ts_right") - sec("ts")).alias("wait_seconds"))
 
 
+def q_asof_clicks_bucketed(spark, sf_dir):
+    """The hot-key-safe as-of variant (r4): same most-recent-click-before-
+    each-error join but with a bounded tolerance (1h) and
+    ``bucket_seconds=tolerance`` — the window partitions on
+    (user_id, floor(ts/3600)) so one hot user spreads over many tasks
+    (plan + spread asserted in tests/test_joins.py). Oracle: DuckDB native
+    ASOF LEFT JOIN with the tolerance applied as a post-filter CASE —
+    independent implementation of both the as-of semantics AND the
+    tolerance semantics."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.col("value").alias("click_value"))
+    j = asof_join(errors, clicks, on="user_id", tolerance=3600.0,
+                  bucket_seconds=3600.0)
+    sec = lambda c: F.col(c).cast("timestamp_ltz").cast("double")  # noqa: E731
+    return j.select(
+        "event_id", "user_id", "click_id", "click_value",
+        (sec("ts") - sec("ts_right")).alias("gap_seconds"))
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + dedup: a deterministically messy URL is built
     from doc_id (mixed case, www., :443, utm_* trackers, fragment) and
@@ -726,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_session_stats": q_user_session_stats,
         "topk_events_per_user": q_topk_events_per_user,
         "asof_clicks": q_asof_clicks,
+        "asof_clicks_bucketed": q_asof_clicks_bucketed,
         "asof_next_purchase": q_asof_next_purchase,
         "url_dedup": q_url_dedup,
         "domain_distribution": q_domain_distribution,
@@ -920,6 +942,23 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
                             FROM events WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "asof_clicks_bucketed": """
+            SELECT event_id, user_id,
+                   CASE WHEN gap_seconds <= 3600.0 THEN click_id END AS click_id,
+                   CASE WHEN gap_seconds <= 3600.0 THEN click_value END AS click_value,
+                   CASE WHEN gap_seconds <= 3600.0 THEN gap_seconds END AS gap_seconds
+            FROM (
+                SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                       CAST(e.user_id AS BIGINT) AS user_id,
+                       CAST(c.click_id AS BIGINT) AS click_id,
+                       c.click_value AS click_value,
+                       epoch(e.ts) - epoch(c.ts) AS gap_seconds
+                FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+                ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id, value AS click_value
+                                FROM events WHERE event_type = 'click') c
+                  ON e.user_id = c.user_id AND e.ts >= c.ts
+            )
         """,
         "domain_distribution": """
             SELECT 'host' || (doc_id % 11) || '.net' AS domain,

@@ -110,10 +110,9 @@ def main() -> None:
     pages_path = ensure_pages(spark, n_pages)
     spark.stop()
 
-    scaling = {}
     have_taskset = subprocess.run(["which", "taskset"], capture_output=True).returncode == 0
 
-    def canary(cores: int) -> float:
+    def canary_once(cores: int) -> float:
         """Aggregate fixed-work rate of `cores` pinned single-threaded Python
         burns — a 2s probe of the host's CURRENT effective speed at this
         parallelism. Recorded per invocation so a host-noise window (this VM
@@ -126,6 +125,26 @@ def main() -> None:
             for _ in range(cores)]
         times = [float(p.communicate()[0].strip()) for p in procs]
         return round(cores / (sum(times) / len(times)), 2)  # burns/sec aggregate
+
+    def canary(cores: int) -> float:
+        # best-of-2: a single 2s probe is itself ±15% noisy (measured probes
+        # 3.91-4.94 @4 cores within seconds on an otherwise-idle host); a REAL
+        # degraded window depresses both probes, a noise blip only one.
+        a = canary_once(cores)
+        if a >= HEALTHY_CANARY.get(cores, 0.0):
+            return a
+        time.sleep(2)
+        return max(a, canary_once(cores))
+
+    # Healthy-host burn marks per core count, calibrated from clean-window runs
+    # (BASELINE.md: lo ~5.2, hi ~19; degraded r3 windows measured 4.3/13.3).
+    # Set BELOW the clean means so ordinary probe noise doesn't false-flag, but
+    # ABOVE every recorded degraded window. Override: SPARK_GRAFT_CANARY_MARKS
+    # as JSON {"4": x, "16": y}.
+    HEALTHY_CANARY = {4: 4.55, 8: 8.8, 16: 16.2, 32: 27.0}
+    _marks_env = os.environ.get("SPARK_GRAFT_CANARY_MARKS")
+    if _marks_env:
+        HEALTHY_CANARY.update({int(k): float(v) for k, v in json.loads(_marks_env).items()})
 
     def leg(cores: int, skip_e2e: bool, repeats: int) -> dict:
         cmd = [sys.executable, "-m", "dataqualityassistant_spark.benchrun",
@@ -150,9 +169,20 @@ def main() -> None:
     # measured efficiency 0.66 and 1.02, and one run's e2e — minutes after
     # its own compute phase — was 15% FASTER than the compute). Best-over-
     # invocations rejects windows that don't cover every invocation of a
-    # leg; each timing remains honest wall-clock over the full input. A
-    # 2s burn canary per invocation records the host's effective speed
-    # next to the throughput it perturbed (reported for transparency).
+    # leg; each timing remains honest wall-clock over the full input.
+    #
+    # CANARY GATING (round 4): a 2s pinned burn canary brackets every
+    # invocation (min of pre/post = the invocation's host-speed verdict).
+    # Round 3's driver record showed why best-of alone is not enough: EVERY
+    # leg of that invocation ran in a degraded window (canaries 4.3/13.3 vs
+    # healthy 5.2/19) and best-of-degraded still recorded efficiency 0.638.
+    # Now: (a) before an expensive leg, if the pre-probe is below the healthy
+    # mark we wait for the window to pass (bounded); (b) after the leg, if
+    # min(pre,post) is still below the mark the invocation is marked degraded
+    # and the leg is re-queued (bounded global retry budget); (c) the final
+    # lo/hi selection prefers healthy invocations, and if NONE was healthy
+    # the output carries scaling.host_degraded=true so the recorded number
+    # is never silently trusted.
     plan = [(CORES_LO, False, 2), (CORES_HI, False, 2),
             (CORES_LO, True, 2), (CORES_HI, True, 2), (CORES_HI, True, 2)]
     if CPUS not in (CORES_LO, CORES_HI):
@@ -161,31 +191,71 @@ def main() -> None:
         # disk/page-cache noise this VM shows with real throughput)
         plan.append((CPUS, False, 3))
         plan.append((CPUS, False, 1))
-    for cores, skip, repeats in plan:
-        r = leg(cores, skip, repeats)
-        can = canary(cores)
-        best = scaling.get(cores)
-        if best is None:
-            r["canaries"] = [can]
-            r["compute_rates"] = [round(r["compute_docs_per_sec"], 2)]
-            scaling[cores] = r
-            continue
-        best["canaries"].append(can)
-        best["compute_rates"].append(round(r["compute_docs_per_sec"], 2))
-        if r["compute_docs_per_sec"] > best["compute_docs_per_sec"]:
-            best["compute_sec"] = r["compute_sec"]
-            best["compute_docs_per_sec"] = r["compute_docs_per_sec"]
-        if r.get("e2e_docs_per_sec") and (
-                not best.get("e2e_docs_per_sec")
-                or r["e2e_docs_per_sec"] > best["e2e_docs_per_sec"]):
-            best["e2e_sec"] = r["e2e_sec"]
-            best["e2e_docs_per_sec"] = r["e2e_docs_per_sec"]
 
-    lo, hi = scaling[CORES_LO], scaling[CORES_HI]
-    full = scaling.get(CPUS, hi)
+    invocations: dict[int, list[dict]] = {}
+    retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))
+    wait_budget = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "9"))
+    legs_retried = 0
+    queue = list(plan)
+    attempts_per_leg: dict[tuple, int] = {}
+    while queue:
+        cores, skip, repeats = queue.pop(0)
+        mark = HEALTHY_CANARY.get(cores, 0.0)
+        pre = canary(cores)
+        while pre < mark and wait_budget > 0:
+            # pre-gate: a 20s wait + re-probe is ~100x cheaper than running
+            # and discarding a degraded multi-minute leg
+            wait_budget -= 1
+            time.sleep(20)
+            pre = canary(cores)
+        r = leg(cores, skip, repeats)
+        post = canary(cores)
+        can = round(min(pre, post), 2)
+        degraded = bool(mark) and can < mark
+        r["canary"] = can
+        r["degraded"] = degraded
+        invocations.setdefault(cores, []).append(r)
+        key = (cores, skip, repeats)
+        attempts_per_leg[key] = attempts_per_leg.get(key, 0) + 1
+        if (degraded and cores in (CORES_LO, CORES_HI)
+                and retry_budget > 0 and attempts_per_leg[key] <= 2):
+            retry_budget -= 1
+            legs_retried += 1
+            queue.append(key)
+
+    def pick(cores: int) -> dict:
+        """Best compute rate among HEALTHY invocations of this core count;
+        fall back to best-of-all (flagged) only if every invocation ran in a
+        degraded window. e2e chosen the same way among e2e-bearing runs."""
+        runs = invocations[cores]
+        healthy = [r for r in runs if not r["degraded"]]
+        pool = healthy or runs
+        best = dict(max(pool, key=lambda r: r["compute_docs_per_sec"]))
+        e2e_pool = [r for r in pool if r.get("e2e_docs_per_sec")] or \
+                   [r for r in runs if r.get("e2e_docs_per_sec")]
+        if e2e_pool:
+            be = max(e2e_pool, key=lambda r: r["e2e_docs_per_sec"])
+            best["e2e_sec"] = be["e2e_sec"]
+            best["e2e_docs_per_sec"] = be["e2e_docs_per_sec"]
+        best["host_degraded"] = not healthy
+        best["compute_rates"] = [round(r["compute_docs_per_sec"], 2) for r in runs]
+        best["canaries"] = [r["canary"] for r in runs]
+        return best
+
+    lo, hi = pick(CORES_LO), pick(CORES_HI)
+    full = pick(CPUS) if CPUS in invocations else hi
     speedup = hi["compute_docs_per_sec"] / lo["compute_docs_per_sec"]
     efficiency = speedup / (CORES_HI / CORES_LO)
     e2e_speedup = hi["e2e_docs_per_sec"] / lo["e2e_docs_per_sec"]
+    host_degraded = lo["host_degraded"] or hi["host_degraded"]
+    # Diagnostic only: rates corrected by the canary shortfall (capped —
+    # the canary is a proxy, not a calibration), so a degraded record still
+    # carries an estimate of the clean-host efficiency next to the raw one.
+    def _corr(r: dict, cores: int) -> float:
+        mark = HEALTHY_CANARY.get(cores, 0.0)
+        f = min(max(mark / r["canary"], 1.0), 1.6) if (mark and r["canary"]) else 1.0
+        return r["compute_docs_per_sec"] * f
+    eff_norm = (_corr(hi, CORES_HI) / _corr(lo, CORES_LO)) / (CORES_HI / CORES_LO)
 
     print(json.dumps({
         "metric": "pipeline_docs_per_sec",
@@ -207,8 +277,18 @@ def main() -> None:
             "e2e_docs_per_sec_lo": round(lo["e2e_docs_per_sec"], 2),
             "e2e_docs_per_sec_hi": round(hi["e2e_docs_per_sec"], 2),
             "e2e_speedup": round(e2e_speedup, 3),
-            # per-invocation diagnostics: all compute rates + the 2s burn
-            # canary measured right after each invocation (host-noise audit)
+            # canary verdict: host_degraded=true means EVERY invocation of a
+            # scaling leg ran below the healthy burn mark even after gated
+            # waits + retries — the raw efficiency then measures the shared
+            # VM's noise window, not the software. efficiency_canary_
+            # normalized is the capped-correction estimate (diagnostic only).
+            "host_degraded": host_degraded,
+            "legs_retried": legs_retried,
+            "canary_marks": {str(c): HEALTHY_CANARY[c]
+                             for c in (CORES_LO, CORES_HI) if c in HEALTHY_CANARY},
+            "efficiency_canary_normalized": round(eff_norm, 3),
+            # per-invocation diagnostics: all compute rates + the min(pre,
+            # post) 2s burn canary bracketing each invocation (noise audit)
             "compute_rates_lo": lo["compute_rates"],
             "compute_rates_hi": hi["compute_rates"],
             "canaries_lo": lo["canaries"],

@@ -98,6 +98,14 @@ def main(argv: list[str] | None = None) -> int:
                         "a crashed batch replaces its own store partition)")
     p.add_argument("--threshold", type=float, default=0.8)
 
+    p = sub.add_parser("compact-store",
+                       help="merge an incremental-dedup signature store's "
+                            "per-batch partitions into n bucketed files "
+                            "(dedup results identical pre/post)")
+    p.add_argument("--store", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--id-col", default="doc_id")
+
     p = sub.add_parser("sample")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -225,6 +233,14 @@ def main(argv: list[str] | None = None) -> int:
         n_out = spark.read.parquet(args.output).count()
         print(json.dumps({"rows_in": n_in, "rows_out": n_out,
                           "dropped": n_in - n_out, "mode": args.mode}))
+
+    elif args.cmd == "compact-store":
+        from dataqualityassistant_spark.ops.dedup import compact_signature_store
+
+        n = compact_signature_store(spark, args.store, n_buckets=args.buckets,
+                                    id_col=args.id_col)
+        print(json.dumps({"store": args.store, "rows": n,
+                          "buckets": args.buckets}))
 
     elif args.cmd == "sample":
         from dataqualityassistant_spark.ops.sampling import (

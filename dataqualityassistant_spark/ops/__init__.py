@@ -5,9 +5,11 @@ multimodal binary-column plumbing."""
 
 from dataqualityassistant_spark.ops.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
+    compact_signature_store,
     dedup_clusters,
     drop_near_duplicates,
     exact_dedup,
+    incremental_dedup,
     minhash_signatures,
     minhash_candidate_pairs,
     simhash,
@@ -52,7 +54,9 @@ from dataqualityassistant_spark.ops.textstats import (
 
 __all__ = [
     "DEFAULT_MAX_BUCKET_SIZE",
+    "compact_signature_store",
     "dedup_clusters",
+    "incremental_dedup",
     "drop_near_duplicates",
     "exact_dedup",
     "minhash_signatures",

@@ -269,7 +269,8 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                             bands: int = 16, threshold: float = 0.8,
                             max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
                             n_hashes: int | None = None,
-                            persist_signatures: bool = True) -> DataFrame:
+                            persist_signatures: bool = True,
+                            materialize: bool = False) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows of
     (band_idx, band_hash); a self-join on those keys yields candidate pairs
     (bucket-local — never all-pairs); signature agreement >= threshold is
@@ -293,14 +294,26 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     The signature relation feeds FOUR plan subtrees (band-join left/right +
     two re-attach joins); ``persist_signatures`` caches it MEMORY_AND_DISK so
     the signature UDF runs once, not four times (measured 6.5s → 2.0s at
-    sf0.1). The cached relation outlives this call by design (the returned
-    plan references it); it is exposed as ``result.persisted_signatures`` so
-    long-lived sessions can ``result.persisted_signatures.unpersist()`` once
-    the pairs are materialized — otherwise each plan build leaks one cache
-    entry until session end. On a real cluster with 10^12 rows, checkpoint
-    signatures to storage (write/read parquet) instead and pass the re-read
-    frame here with ``persist_signatures=False``
-    (``persisted_signatures`` is then ``None``)."""
+    sf0.1). Two ways to avoid leaking that cache entry in a long-lived
+    session:
+
+    * ``materialize=True`` (recommended default usage): the pairs are
+      computed eagerly (``localCheckpoint`` — they are small: two ids + a
+      double per row) and the signature cache is unpersisted BEFORE
+      returning; ``result.persisted_signatures`` is ``None``. The only
+      storage held afterwards is the checkpointed pairs themselves (that
+      IS the result; released when the DataFrame is garbage-collected).
+    * ``materialize=False`` (lazy plan): the cached relation outlives this
+      call by design (the returned plan references it); it is exposed as
+      ``result.persisted_signatures`` so the caller can ``unpersist()`` once
+      the pairs land. NOTE the handle is a plain Python attribute on THIS
+      DataFrame object — any further transformation (``select``/``where``)
+      returns a new DataFrame without it, so read it first.
+
+    On a real cluster with 10^12 rows, checkpoint signatures to storage
+    (write/read parquet) instead and pass the re-read frame here with
+    ``persist_signatures=False`` (``persisted_signatures`` is then
+    ``None``)."""
     if n_hashes is not None and n_hashes < bands:
         # rows_per_band would floor to 0 → every band hashes an empty slice
         # → all docs share one bucket → the join degenerates to all-pairs
@@ -361,6 +374,14 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .where(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+    if materialize:
+        # eager: pairs land in executor block storage (small rows), the plan
+        # no longer references the signature relation, cache freed here
+        out = out.localCheckpoint(eager=True)
+        if persist_signatures:
+            signatures.unpersist()
+        out.persisted_signatures = None
+        return out
     # caller-side unpersist handle (see docstring) — plain attribute on the
     # returned DataFrame, None when the caller persisted upstream themselves
     out.persisted_signatures = signatures if persist_signatures else None
@@ -451,6 +472,8 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
                                     max_bucket_size, n_hashes=n_hashes,
                                     persist_signatures=False)
     survivors = drop_near_duplicates(new_docs, pairs, id_col)
+    from pyspark.errors import AnalysisException
+
     try:
         # exclude THIS batch's partition (partition-pruned): a replay after
         # a crash-after-write must not match the batch against its own
@@ -459,7 +482,10 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
                   .where(F.col("batch_id") != F.lit(str(batch_id)))
                   .select(id_col, "signature"))
         store_exists = True
-    except Exception:  # first batch: no store yet
+    except AnalysisException:  # first batch: no store yet (PATH_NOT_FOUND)
+        # ONLY the missing-path analysis error means "first batch" — a
+        # transient IO/permission/corrupt-store failure must raise, not
+        # silently skip the batch-vs-corpus dedup and accept duplicates
         store_exists = False
     if store_exists:
         surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")
@@ -482,12 +508,65 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
     return survivors
 
 
+COMPACTED_BATCH_ID = "__compacted__"
+
+
+def compact_signature_store(spark, store_path: str, n_buckets: int = 64,
+                            id_col: str = "doc_id") -> int:
+    """Merge the signature store's one-partition-per-batch layout into
+    ``n_buckets`` files under a single ``batch_id=__compacted__`` partition.
+
+    :func:`incremental_dedup` grows the store by one parquet partition per
+    batch — after 10^5 crawl batches the banded corpus scan pays 10^5
+    directory listings and as many small files per bucket of work. Compaction
+    rewrites the accumulated partitions into ``n_buckets`` files keyed by
+    ``xxhash64(id)`` (deterministic file contents under re-runs), preserving
+    every (id, signature) row, so subsequent batches read a flat, right-sized
+    store. Dedup results are IDENTICAL pre/post compaction (tested) — the
+    banded join only consumes (id, signature) rows.
+
+    Replay caveat: a batch compacted away can no longer be replayed
+    idempotently (its rows now live under ``__compacted__``, which the
+    replay's ``batch_id != <id>`` filter does not exclude) — compact only
+    batches that are finalized. Duplicate ids across partitions (e.g. a
+    crash between the store write and the caller recording success) are
+    folded to one row per id here (min signature per id — signatures for the
+    same id are identical anyway since the hash params are fixed).
+
+    Local-filesystem staging: the rewrite lands in ``<store>.compact.tmp``
+    then atomically replaces the store directory. On an object store /
+    real cluster, run the same rewrite through a table format's compaction
+    (e.g. Iceberg ``rewrite_data_files``) instead of directory renames.
+
+    Returns the number of (id, signature) rows in the compacted store.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(store_path).select(id_col, "signature")
+    staging = store_path.rstrip("/") + ".compact.tmp"
+    compacted = (
+        df.groupBy(id_col).agg(F.min("signature").alias("signature"))
+        .repartition(n_buckets, F.xxhash64(F.col(id_col)))
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+    )
+    (compacted.write.mode("overwrite").partitionBy("batch_id").parquet(staging))
+    n = spark.read.parquet(staging).count()
+    shutil.rmtree(store_path)
+    os.rename(staging, store_path)
+    return int(n)
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash_one(text: str | None) -> int | None:
     """64-bit SimHash of one document (signed int64, the Spark LongType
-    representation). Pure function — shared by the Spark UDF and the
-    driver-side oracle so fingerprints agree exactly."""
+    representation). This is the SPEC: token hash =
+    ``crc32(w) << 32 | crc32(w_reversed)`` over ``text.lower().split()``
+    occurrences, bit i set iff the ±1 vote sum is strictly positive. The
+    driver-side oracle replays THIS per-doc form; the Spark UDF runs the
+    independently-implemented :func:`simhash_batch` — their agreement is a
+    tested invariant, not shared code."""
     import zlib
 
     if not text:
@@ -510,13 +589,124 @@ def simhash_one(text: str | None) -> int | None:
     return int(val.astype(np.int64))
 
 
+@lru_cache(maxsize=1)
+def _crc32_table() -> np.ndarray:
+    """Standard CRC-32 (IEEE, reflected, poly 0xEDB88320) byte table — the
+    same function zlib.crc32 computes."""
+    poly = np.uint32(0xEDB88320)
+    table = np.empty(256, dtype=np.uint32)
+    for i in range(256):
+        c = np.uint32(i)
+        for _ in range(8):
+            c = (c >> np.uint32(1)) ^ (poly if c & np.uint32(1) else np.uint32(0))
+        table[i] = c
+    return table
+
+
+def _crc32_columns(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """CRC-32 of every row of a NUL-padded byte matrix, vectorized across
+    ROWS: the loop runs over byte POSITIONS (max token length, ~tens), not
+    tokens (~10^4-10^5 per Arrow batch) — the reduceat-style inversion that
+    made minhash_signature_batch fast."""
+    table = _crc32_table()
+    crc = np.full(mat.shape[0], 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(mat.shape[1]):
+        active = lens > j
+        if not active.any():
+            break
+        cj = crc[active]
+        crc[active] = (cj >> np.uint32(8)) ^ table[(cj ^ mat[active, j]) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def simhash_batch(texts) -> list[int | None]:
+    """SimHash for a batch of texts in vectorized numpy passes — bit-identical
+    to :func:`simhash_one` per document (differentially tested, incl. unicode
+    and NUL edge cases), but with the per-token Python work eliminated:
+
+    1. one tokenization pass builds the flat occurrence array;
+    2. ``np.unique`` collapses occurrences to the batch VOCABULARY (Zipf:
+       ~10-50x smaller) with inverse indices;
+    3. the two CRC32s per unique token run table-driven over a NUL-padded
+       byte matrix (``np.char.encode`` → one uint8 view), iterating over
+       byte positions instead of tokens (:func:`_crc32_columns`); tokens
+       whose UTF-8 ends with a NUL byte (padding-ambiguous in the fixed-
+       width dtype) fall back to scalar ``zlib.crc32`` — vanishingly rare;
+    4. per-doc ±1 vote sums are 64 ``np.add.reduceat`` segment sums over
+       the gathered occurrence hashes (no per-doc dispatch)."""
+    token_lists: list[list[str]] = []
+    lengths: list[int] = []
+    fallback: list[int] = []
+    for i, t in enumerate(texts):
+        if t and "\x00" in t:
+            # numpy's fixed-width U dtype cannot represent trailing NULs
+            # (padding is NUL), so NUL-bearing docs take the scalar path —
+            # vanishingly rare in real text, exactness preserved
+            fallback.append(i)
+            token_lists.append([])
+            lengths.append(0)
+            continue
+        toks = t.lower().split() if t else []
+        token_lists.append(toks)
+        lengths.append(len(toks))
+    out: list[int | None] = [None] * len(lengths)
+    for i in fallback:
+        out[i] = simhash_one(texts[i])
+    total = int(sum(lengths))
+    if total == 0:
+        return out
+    # vocabulary index via dict (insertion-ordered, C-speed setdefault):
+    # measured ~6x faster than U-dtype conversion + np.unique string sort
+    flat: list[str] = []
+    for tl in token_lists:
+        flat.extend(tl)
+    index: dict[str, int] = {}
+    inverse = np.fromiter(
+        (index.setdefault(w, len(index)) for w in flat),
+        dtype=np.int64, count=total)
+    uniq = np.asarray(list(index), dtype="U")
+    # --- vectorized CRC32 over the unique vocabulary, forward + reversed
+    enc = np.char.encode(uniq, "utf-8")
+    enc_rev = np.char.encode(np.asarray([u[::-1] for u in uniq], dtype=uniq.dtype), "utf-8")
+    width = max(enc.dtype.itemsize, enc_rev.dtype.itemsize, 1)
+    mat = np.zeros((len(uniq), width), dtype=np.uint8)
+    mat_r = np.zeros_like(mat)
+    mat[:, : enc.dtype.itemsize] = enc.view(np.uint8).reshape(len(uniq), -1)
+    mat_r[:, : enc_rev.dtype.itemsize] = enc_rev.view(np.uint8).reshape(len(uniq), -1)
+    blens = np.char.str_len(enc).astype(np.int64)
+    blens_r = np.char.str_len(enc_rev).astype(np.int64)
+    fwd = _crc32_columns(mat, blens).astype(np.uint64)
+    rev = _crc32_columns(mat_r, blens_r).astype(np.uint64)
+    uh = (fwd << np.uint64(32)) | rev
+    # --- per-doc vote sums: the ±1 bit matrix is built ONCE over the
+    # vocabulary (vocab × 64 int8) and gathered to occurrences TRANSPOSED
+    # (bit-major), so each of the 64 per-bit segment sums is a 1D reduceat
+    # over a contiguous row — measured 18x faster than the equivalent
+    # axis-0 2D reduceat, which hits numpy's generic strided inner loop
+    bits = np.arange(64, dtype=np.uint64)
+    pm_u = (2 * ((uh[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int8) - 1)
+    nz = [i for i, n in enumerate(lengths) if n]
+    offsets = np.cumsum([0] + [lengths[i] for i in nz[:-1]])
+    gT = pm_u.T[:, inverse]  # (64, occurrences), rows contiguous
+    counts = np.empty((len(nz), 64), dtype=np.int64)
+    for b in range(64):
+        counts[:, b] = np.add.reduceat(gT[b], offsets, dtype=np.int64)
+    fp = ((counts > 0).astype(np.uint64) << bits[None, :]).sum(axis=1)
+    vals = fp.astype(np.int64)
+    for row, i in enumerate(nz):
+        out[i] = int(vals[row])
+    return out
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word tokens (Arrow-batched numpy): each token's
-    64-bit hash votes ±1 per bit position; the sign vector is the print."""
+    64-bit hash votes ±1 per bit position; the sign vector is the print.
+    Runs :func:`simhash_batch` — vocabulary-deduped, table-driven-CRC,
+    segment-summed — one vectorized pass per Arrow batch."""
 
     @pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
-        return pd.Series([simhash_one(t) for t in texts], dtype="Int64")
+        return pd.Series(simhash_batch(list(texts)), dtype="Int64")
 
     return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
 

@@ -81,6 +81,40 @@ def kmeans_fit(vectors: np.ndarray, n_centroids: int, n_iters: int = 10) -> np.n
     return c
 
 
+#: hard ceiling on the driver-side training collect (rows). FAISS-style IVF
+#: training needs ~10^5-10^6 samples regardless of corpus size; 200k rows of
+#: 64-dim float64 is ~100 MB on the driver. ``None`` is the explicit opt-out.
+DEFAULT_MAX_TRAIN_ROWS = 200_000
+
+
+def _training_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    sample_fraction: float,
+    salt: int,
+    max_train_rows: int | None,
+) -> DataFrame:
+    """The bounded training relation: hash-fraction filter (caller-tuned),
+    then a HARD deterministic cap — rows ordered by ``xxhash64(id)`` (id
+    tiebreak), ``limit(max_train_rows)``. The cap compiles to
+    TakeOrderedAndProject: per-partition top-k heaps, never a global sort,
+    and the driver receives at most ``max_train_rows`` rows no matter what
+    ``sample_fraction`` the caller passed. When the corpus is already under
+    the cap the order-then-limit passes every row through, so small-fixture
+    codebooks are unchanged."""
+    sampled = df.where(F.col(vec_col).isNotNull())
+    if sample_fraction < 1.0:
+        keep = F.pmod(F.xxhash64(F.col(id_col).cast("long"), F.lit(salt).cast("long")),
+                      F.lit(SCALE)) < int(round(sample_fraction * SCALE))
+        sampled = sampled.where(keep)
+    sampled = sampled.select(id_col, vec_col)
+    if max_train_rows is not None:
+        cap_hash = F.xxhash64(F.col(id_col).cast("long"), F.lit(salt + 1).cast("long"))
+        sampled = sampled.orderBy(cap_hash, F.col(id_col)).limit(int(max_train_rows))
+    return sampled
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int = 256,
@@ -89,17 +123,16 @@ def train_ivf_centroids(
     sample_fraction: float = 1.0,
     n_iters: int = 10,
     salt: int = 4242,
+    max_train_rows: int | None = DEFAULT_MAX_TRAIN_ROWS,
 ) -> np.ndarray:
     """Collect a hash-deterministic sample of embeddings to the driver and
     fit the codebook. ``sample_fraction`` should target ~10^5–10^6 rows at
-    production scale (e.g. 1e-6 at 10^12 rows) — the ONLY collect in the
-    IVF path, and it is bounded by that fraction."""
-    sampled = df.where(F.col(vec_col).isNotNull())
-    if sample_fraction < 1.0:
-        keep = F.pmod(F.xxhash64(F.col(id_col).cast("long"), F.lit(salt).cast("long")),
-                      F.lit(SCALE)) < int(round(sample_fraction * SCALE))
-        sampled = sampled.where(keep)
-    rows = sampled.select(id_col, vec_col).collect()
+    production scale (e.g. 1e-6 at 10^12 rows), and ``max_train_rows``
+    (default 200k, ``None`` to opt out) HARD-bounds the driver collect even
+    when the caller leaves ``sample_fraction`` at 1.0 — the ONLY collect in
+    the IVF path, capped by construction rather than by convention."""
+    sampled = _training_sample(df, vec_col, id_col, sample_fraction, salt, max_train_rows)
+    rows = sampled.collect()
     rows.sort(key=lambda r: r[0])  # id order => deterministic fit
     return kmeans_fit(np.array([list(r[1]) for r in rows]), n_centroids, n_iters)
 

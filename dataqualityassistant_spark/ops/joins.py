@@ -52,6 +52,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance: float | None = None,
     suffix: str = "_right",
+    bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, attach the single right row with
     the largest ``right_ts <= left_ts`` (``backward``) or smallest
@@ -70,6 +71,21 @@ def asof_join(
     ``(key, right_ts)``, which one wins is unspecified (same as DuckDB
     ASOF) — pre-aggregate the right side to unique ``(key, ts)`` (e.g.
     ``max_by``) when that matters.
+
+    **Hot keys** (``bucket_seconds``): the default plan puts ONE key in ONE
+    window partition — a key with 10^9 rows serializes into a single task.
+    When ``tolerance`` is bounded, pass ``bucket_seconds`` (any value >=
+    ``tolerance``; e.g. the tolerance itself) to additionally partition by
+    ``floor(ts / bucket_seconds)``: a left row in time bucket B can only
+    match right rows in buckets B-1..B (backward; B..B+1 forward), so right
+    rows are replicated into the one neighbouring bucket (2x the right
+    relation, bounded) and the window runs per ``(key, bucket)`` — the hot
+    key's work spreads over ``time_span / bucket_seconds`` tasks. Results
+    are IDENTICAL to the unbucketed plan (differentially tested): the
+    running ``last`` still sees every candidate within ``tolerance``, and
+    the existing tolerance filter discards the out-of-range carry-ins.
+    Check :func:`~dataqualityassistant_spark.ops.skew.diagnose_skew` on the
+    join key to decide whether you need this.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -108,6 +124,23 @@ def asof_join(
         F.struct(*left.columns).alias("__asof_left"),
     )
 
+    part_cols: list = list(keys)
+    if bucket_seconds is not None:
+        if tolerance is None or float(tolerance) > float(bucket_seconds):
+            raise ValueError(
+                "bucket_seconds requires a tolerance <= bucket_seconds "
+                f"(got tolerance={tolerance!r}, bucket_seconds={bucket_seconds!r}): "
+                "correctness of one-step neighbour replication depends on it")
+        bw = F.lit(float(bucket_seconds))
+        bucket = F.floor(_epoch_seconds(F.col("__asof_ts")) / bw).cast("long")
+        # a backward match lives in the left row's bucket or the one before,
+        # so each right row also serves the NEXT bucket (previous for forward)
+        shift = 1 if direction == "backward" else -1
+        r = r.withColumn("__asof_bucket",
+                         F.explode(F.array(bucket, bucket + F.lit(shift))))
+        l = l.withColumn("__asof_bucket", bucket)
+        part_cols.append("__asof_bucket")
+
     # allowMissingColumns fills the absent struct with NULL on each side
     unioned = l.unionByName(r, allowMissingColumns=True)
 
@@ -116,7 +149,7 @@ def asof_join(
     else:
         order = [F.col("__asof_ts").desc_nulls_first(), F.col("__asof_side").asc()]
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -38,11 +38,13 @@ def diagnose_skew(df: DataFrame, keys: str | list[str], k: int = 20) -> DataFram
     # instead of an eager df.count() (which would scan the corpus once at
     # call time and again per evaluation)
     total = df.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    # zero-total guard: n/0 would yield NULL frac rather than 0.0
+    frac = F.when(F.col("__total") > 0, F.col("n") / F.col("__total")).otherwise(F.lit(0.0))
     return (
         counted.crossJoin(F.broadcast(total))
         .orderBy(F.desc("n"), *key_list)
         .limit(k)
-        .select(*key_list, "n", (F.col("n") / F.col("__total")).alias("frac"))
+        .select(*key_list, "n", frac.alias("frac"))
     )
 
 
@@ -67,11 +69,16 @@ def hll_distinct_count(
 ) -> DataFrame:
     """Approximate per-key distinct count via mergeable HLL sketches
     (±~2% at the default lgConfigK=12, ~2.5 KB of state per key regardless
-    of cardinality). One shuffle of sketches, never values."""
+    of cardinality). One shuffle of sketches, never values.
+
+    NULL handling matches :func:`two_phase_distinct_count` exactly:
+    ``hll_sketch_agg`` ignores NULL values itself (no pre-filter — a
+    pre-filter would DROP keys whose values are all NULL, where the exact
+    variant reports them with 0), and an all-NULL key's empty sketch
+    estimates to 0."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
     return (
-        df.where(F.col(col).isNotNull())
-        .groupBy(*key_list)
+        df.groupBy(*key_list)
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg(F.col(col), F.lit(lgk)))
              .alias(out_col))
     )

@@ -141,9 +141,16 @@ def oracle_expectation(df: pd.DataFrame, expectation_type: str, kwargs: dict[str
     if expectation_type == "expect_column_values_to_be_json_parseable":
         import json
 
+        def _reject_constant(name: str):
+            # Python json.loads accepts the non-RFC literals NaN/Infinity/
+            # -Infinity by default; Spark's try_parse_json rejects them.
+            # Raising from parse_constant keeps the oracle strict-RFC so the
+            # two engines agree on such inputs.
+            raise ValueError(f"non-RFC JSON constant: {name}")
+
         def parses(v) -> bool:
             try:
-                json.loads(str(v))
+                json.loads(str(v), parse_constant=_reject_constant)
                 return True
             except Exception:
                 return False

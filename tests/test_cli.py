@@ -153,3 +153,18 @@ def test_cli_dedup_incremental_across_batches(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     s2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
     assert s2["rows_out"] == 1                       # doc 10 dups batch-1's doc 1
+
+    # compact the per-batch store, then a third batch must decide identically
+    rc = run_cli(["compact-store", "--store", store, "--buckets", "4"])
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    sc = json.loads([l for l in rc.stdout.splitlines() if l.startswith("{")][-1])
+    assert sc["rows"] == 3                           # 2 from b1 + 1 from b2
+    b3 = str(tmp_path / "b3.parquet")
+    pq.write_table(pa.table({"doc_id": [20, 21],
+                             "text": [text_b, "never before seen prose at all " * 4]}), b3)
+    out3 = str(tmp_path / "o3")
+    r3 = run_cli(["dedup", "--mode", "incremental", "--input", b3, "--output", out3,
+                  "--store", store, "--batch-id", "b3"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    s3 = json.loads([l for l in r3.stdout.splitlines() if l.startswith("{")][-1])
+    assert s3["rows_out"] == 1                       # doc 20 dups compacted doc 2

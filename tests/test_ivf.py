@@ -116,3 +116,41 @@ def test_sampled_training_is_deterministic(spark, corpus):
     c1 = train_ivf_centroids(df, n_centroids=4, sample_fraction=0.5, n_iters=3)
     c2 = train_ivf_centroids(df.repartition(7), n_centroids=4, sample_fraction=0.5, n_iters=3)
     assert np.array_equal(c1, c2)
+
+
+def test_default_training_collect_is_bounded(spark, corpus):
+    """VERDICT r3 #2: the DEFAULT call must never collect the whole corpus.
+    On a fixture larger than the cap, the training relation hands the driver
+    at most max_train_rows rows, via TakeOrderedAndProject (no global sort),
+    and the cap is deterministic under repartitioning."""
+    import contextlib as _ctx
+    import io as _io
+
+    from dataqualityassistant_spark.ops.ivf import (
+        DEFAULT_MAX_TRAIN_ROWS,
+        _training_sample,
+    )
+
+    df, _ = corpus  # 400 rows
+    assert DEFAULT_MAX_TRAIN_ROWS is not None  # the default is the cap, not opt-out
+    cap = 100
+    rel = _training_sample(df, "embedding", "vec_id", 1.0, 4242, cap)
+    assert rel.count() == cap  # fixture (400) exceeds cap -> exactly cap rows
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        rel.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()  # per-partition heaps, no global sort
+    # deterministic sample under different partitioning
+    ids1 = sorted(r["vec_id"] for r in rel.collect())
+    ids2 = sorted(
+        r["vec_id"]
+        for r in _training_sample(
+            df.repartition(7), "embedding", "vec_id", 1.0, 4242, cap
+        ).collect()
+    )
+    assert ids1 == ids2
+    # capped fit still produces a valid codebook; uncapped (None) reproduces
+    # the old behavior and both agree when the corpus is under the cap
+    c_cap = train_ivf_centroids(df, n_centroids=4, n_iters=3, max_train_rows=500)
+    c_off = train_ivf_centroids(df, n_centroids=4, n_iters=3, max_train_rows=None)
+    assert np.array_equal(c_cap, c_off)

@@ -263,6 +263,30 @@ def test_minhash_exposes_persisted_signatures_handle(spark, docs):
     assert no_persist.persisted_signatures is None
 
 
+def test_minhash_materialize_leaves_no_cache(spark, docs):
+    """materialize=True computes the pairs eagerly and unpersists the
+    internal signature cache before returning — NOTHING stays cached
+    (VERDICT r3 #6: the persisted_signatures footgun)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    sigs = minhash_signatures(docs, n_hashes=64, shingle=5)
+    pairs = minhash_candidate_pairs(sigs, bands=16, threshold=0.5,
+                                    materialize=True)
+    # the SIGNATURE cache is gone (persist registers by logical plan, so the
+    # caller's handle reflects the internal persist/unpersist)...
+    assert not sigs.storageLevel.useMemory and not sigs.storageLevel.useDisk
+    # ...and the only surviving entry is the checkpointed PAIRS themselves
+    # (16-byte id pairs + a double — localCheckpoint storage IS the result)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    assert pairs.persisted_signatures is None
+    # results identical to the lazy path
+    lazy = minhash_candidate_pairs(sigs, bands=16, threshold=0.5)
+    want = {(r["id_a"], r["id_b"]) for r in lazy.collect()}
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == want and got
+    lazy.persisted_signatures.unpersist()
+
+
 def test_ngram_jaccard_hot_shingle_filter(spark, docs):
     # with the boilerplate shingle dropped everywhere, real near-dups remain
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=10).toPandas()
@@ -546,6 +570,74 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert s2_replay == [11]
     rows = spark.read.parquet(store).collect()
     assert len(rows) == 3 and {r["doc_id"] for r in rows} == {1, 3, 11}
+
+
+def test_incremental_dedup_corrupt_store_raises(spark, tmp_path):
+    """A transient/corrupt store read must RAISE, not be mistaken for
+    'first batch' (which would silently skip the batch-vs-corpus dedup and
+    accept duplicates). Only PATH_NOT_FOUND means first batch."""
+    import os
+
+    from dataqualityassistant_spark.ops.dedup import incremental_dedup
+
+    store = str(tmp_path / "badstore")
+    os.makedirs(store)
+    with open(os.path.join(store, "part-00000.parquet"), "w") as f:
+        f.write("definitely not parquet")
+    b = spark.createDataFrame([(1, BASE)], "doc_id: long, text: string")
+    with pytest.raises(Exception) as ei:
+        incremental_dedup(b, store, batch_id="x", n_hashes=64,
+                          shingle=5, threshold=0.5).collect()
+    # the corrupt-footer error surfaced; it was NOT swallowed as first-batch
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+def test_compact_signature_store_preserves_dedup(spark, tmp_path):
+    """VERDICT r3 #7: compaction folds per-batch partitions into n_buckets
+    files under one __compacted__ partition; the next batch's dedup decision
+    is IDENTICAL against the compacted and uncompacted stores."""
+    import glob
+    import shutil
+
+    from dataqualityassistant_spark.ops.dedup import (
+        COMPACTED_BATCH_ID,
+        compact_signature_store,
+        incremental_dedup,
+    )
+
+    novel = "totally novel words about sailing ships on the open ocean at dawn"
+    other = "completely different prose about mountain railways in winter storms"
+    store = str(tmp_path / "sigstore")
+    for bid, rows in (("b1", [(1, BASE), (3, novel)]), ("b2", [(11, other)])):
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        incremental_dedup(df, store, batch_id=bid, n_hashes=64,
+                          shingle=5, threshold=0.5)
+    frozen = str(tmp_path / "frozen")
+    shutil.copytree(store, frozen)
+
+    n = compact_signature_store(spark, store, n_buckets=4)
+    assert n == 3
+    # layout: the per-batch partitions are gone, one __compacted__ remains
+    parts = sorted(p.split("=")[-1] for p in glob.glob(store + "/batch_id=*"))
+    assert parts == [COMPACTED_BATCH_ID]
+    # store contents identical as a relation
+    want = {(r["doc_id"], tuple(r["signature"]))
+            for r in spark.read.parquet(frozen).select("doc_id", "signature").collect()}
+    got = {(r["doc_id"], tuple(r["signature"]))
+           for r in spark.read.parquet(store).select("doc_id", "signature").collect()}
+    assert got == want
+    # next batch decides identically against both stores: a near-dup of the
+    # accepted BASE is dropped, a fresh doc survives
+    b3 = spark.createDataFrame(
+        [(20, NEAR), (21, "unrelated musings on alpine meadow flowers in spring")],
+        "doc_id: long, text: string")
+    s_compacted = sorted(r["doc_id"] for r in
+                         incremental_dedup(b3, store, batch_id="b3", n_hashes=64,
+                                           shingle=5, threshold=0.5).collect())
+    s_frozen = sorted(r["doc_id"] for r in
+                      incremental_dedup(b3, frozen, batch_id="b3", n_hashes=64,
+                                        shingle=5, threshold=0.5).collect())
+    assert s_compacted == s_frozen == [21]
 
 
 def test_ann_multitable_recall(spark):

@@ -69,3 +69,18 @@ def test_two_phase_plan_spreads_hot_key(events):
     assert all("event_type" in l for l in lines), lines
     # the deeper (dedupe) exchange spreads the hot key by including user_id
     assert any("user_id" in l for l in lines), lines
+
+
+def test_hll_keeps_all_null_keys(spark):
+    # exact/approx pair must agree on the all-NULL-key edge: hll_sketch_agg
+    # ignores nulls itself, so no pre-filter — key "b" appears with 0
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", None)], "k string, v int")
+    got = {r["k"]: r["n_distinct_approx"]
+           for r in hll_distinct_count(df, "k", "v").collect()}
+    assert got == {"a": 2, "b": 0}
+
+
+def test_diagnose_skew_empty_input(spark):
+    df = spark.createDataFrame([], "domain string, x int")
+    assert diagnose_skew(df, "domain", k=3).collect() == []

@@ -50,7 +50,78 @@ HEADLINE = [
     "url_dedup",
     "stratified_sample",
     "ivf_topk",
+    # r4: showcases the vectorized simhash_batch kernel (see BASELINE.md);
+    # totals are therefore not directly comparable to the r3 16-query value
+    "simhash_dup_pairs",
 ]
+
+
+def run_gated_legs(plan, leg_fn, canary_fn, marks, gate_cores,
+                   retry_budget=4, wait_budget=9, sleep_fn=time.sleep,
+                   max_attempts_per_leg=3):
+    """Canary-gated leg scheduler (pure logic — unit-tested without Spark).
+
+    For each planned ``(cores, skip_e2e, repeats)`` invocation: probe the
+    host BEFORE the expensive leg and wait (20 s steps, global
+    ``wait_budget``) while the burn canary sits below the healthy mark;
+    run the leg; probe again; ``min(pre, post)`` is the invocation's
+    host-speed verdict. A degraded invocation of a scaling-relevant leg
+    (``gate_cores``) is re-queued at the back (global ``retry_budget``,
+    at most ``max_attempts_per_leg`` total attempts per leg).
+
+    Returns ``(invocations, legs_retried)`` where ``invocations`` maps
+    cores -> list of leg-result dicts annotated with ``canary``/``degraded``.
+    """
+    invocations: dict[int, list[dict]] = {}
+    legs_retried = 0
+    queue = list(plan)
+    attempts: dict[tuple, int] = {}
+    while queue:
+        cores, skip, repeats = queue.pop(0)
+        mark = marks.get(cores, 0.0)
+        pre = canary_fn(cores)
+        while pre < mark and wait_budget > 0:
+            # pre-gate: a 20s wait + re-probe is ~100x cheaper than running
+            # and discarding a degraded multi-minute leg
+            wait_budget -= 1
+            sleep_fn(20)
+            pre = canary_fn(cores)
+        r = leg_fn(cores, skip, repeats)
+        post = canary_fn(cores)
+        can = round(min(pre, post), 2)
+        degraded = bool(mark) and can < mark
+        r["canary"] = can
+        r["degraded"] = degraded
+        invocations.setdefault(cores, []).append(r)
+        key = (cores, skip, repeats)
+        attempts[key] = attempts.get(key, 0) + 1
+        if (degraded and cores in gate_cores and retry_budget > 0
+                and attempts[key] < max_attempts_per_leg):
+            retry_budget -= 1
+            legs_retried += 1
+            queue.append(key)
+    return invocations, legs_retried
+
+
+def pick_best(invocations, cores):
+    """Best compute rate among HEALTHY invocations of this core count; fall
+    back to best-of-all (flagged ``host_degraded``) only if every invocation
+    ran in a degraded window. e2e chosen the same way among e2e-bearing
+    runs."""
+    runs = invocations[cores]
+    healthy = [r for r in runs if not r["degraded"]]
+    pool = healthy or runs
+    best = dict(max(pool, key=lambda r: r["compute_docs_per_sec"]))
+    e2e_pool = [r for r in pool if r.get("e2e_docs_per_sec")] or \
+               [r for r in runs if r.get("e2e_docs_per_sec")]
+    if e2e_pool:
+        be = max(e2e_pool, key=lambda r: r["e2e_docs_per_sec"])
+        best["e2e_sec"] = be["e2e_sec"]
+        best["e2e_docs_per_sec"] = be["e2e_docs_per_sec"]
+    best["host_degraded"] = not healthy
+    best["compute_rates"] = [round(r["compute_docs_per_sec"], 2) for r in runs]
+    best["canaries"] = [r["canary"] for r in runs]
+    return best
 
 
 def _sf_label(path: str) -> float:
@@ -192,58 +263,13 @@ def main() -> None:
         plan.append((CPUS, False, 3))
         plan.append((CPUS, False, 1))
 
-    invocations: dict[int, list[dict]] = {}
-    retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))
-    wait_budget = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "9"))
-    legs_retried = 0
-    queue = list(plan)
-    attempts_per_leg: dict[tuple, int] = {}
-    while queue:
-        cores, skip, repeats = queue.pop(0)
-        mark = HEALTHY_CANARY.get(cores, 0.0)
-        pre = canary(cores)
-        while pre < mark and wait_budget > 0:
-            # pre-gate: a 20s wait + re-probe is ~100x cheaper than running
-            # and discarding a degraded multi-minute leg
-            wait_budget -= 1
-            time.sleep(20)
-            pre = canary(cores)
-        r = leg(cores, skip, repeats)
-        post = canary(cores)
-        can = round(min(pre, post), 2)
-        degraded = bool(mark) and can < mark
-        r["canary"] = can
-        r["degraded"] = degraded
-        invocations.setdefault(cores, []).append(r)
-        key = (cores, skip, repeats)
-        attempts_per_leg[key] = attempts_per_leg.get(key, 0) + 1
-        if (degraded and cores in (CORES_LO, CORES_HI)
-                and retry_budget > 0 and attempts_per_leg[key] <= 2):
-            retry_budget -= 1
-            legs_retried += 1
-            queue.append(key)
+    invocations, legs_retried = run_gated_legs(
+        plan, leg, canary, HEALTHY_CANARY, gate_cores=(CORES_LO, CORES_HI),
+        retry_budget=int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4")),
+        wait_budget=int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "9")))
 
-    def pick(cores: int) -> dict:
-        """Best compute rate among HEALTHY invocations of this core count;
-        fall back to best-of-all (flagged) only if every invocation ran in a
-        degraded window. e2e chosen the same way among e2e-bearing runs."""
-        runs = invocations[cores]
-        healthy = [r for r in runs if not r["degraded"]]
-        pool = healthy or runs
-        best = dict(max(pool, key=lambda r: r["compute_docs_per_sec"]))
-        e2e_pool = [r for r in pool if r.get("e2e_docs_per_sec")] or \
-                   [r for r in runs if r.get("e2e_docs_per_sec")]
-        if e2e_pool:
-            be = max(e2e_pool, key=lambda r: r["e2e_docs_per_sec"])
-            best["e2e_sec"] = be["e2e_sec"]
-            best["e2e_docs_per_sec"] = be["e2e_docs_per_sec"]
-        best["host_degraded"] = not healthy
-        best["compute_rates"] = [round(r["compute_docs_per_sec"], 2) for r in runs]
-        best["canaries"] = [r["canary"] for r in runs]
-        return best
-
-    lo, hi = pick(CORES_LO), pick(CORES_HI)
-    full = pick(CPUS) if CPUS in invocations else hi
+    lo, hi = pick_best(invocations, CORES_LO), pick_best(invocations, CORES_HI)
+    full = pick_best(invocations, CPUS) if CPUS in invocations else hi
     speedup = hi["compute_docs_per_sec"] / lo["compute_docs_per_sec"]
     efficiency = speedup / (CORES_HI / CORES_LO)
     e2e_speedup = hi["e2e_docs_per_sec"] / lo["e2e_docs_per_sec"]

@@ -375,8 +375,12 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b", "jaccard_est")
     )
     if materialize:
-        # eager: pairs land in executor block storage (small rows), the plan
-        # no longer references the signature relation, cache freed here
+        # eager: pre-fill the signature cache with ONE job (the four
+        # consuming subtrees would otherwise race the first fill and
+        # compute the UDF up to twice), then land the pairs in executor
+        # block storage (small rows) and free the cache
+        if persist_signatures:
+            signatures.count()
         out = out.localCheckpoint(eager=True)
         if persist_signatures:
             signatures.unpersist()
@@ -713,10 +717,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
                             max_hamming: int = 3,
-                            max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
+                            max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+                            persist_hashes: bool = True,
+                            materialize: bool = False) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4×16-bit
     chunk banding (pigeonhole: ≤3 differing bits leave ≥1 chunk equal),
     then an exact bit_count(xor) filter on the candidates.
+
+    The banding is ONE ``posexplode`` over the 4 chunk values and ONE
+    self-join on (band, chunk) — NOT a union of four per-chunk joins. The
+    union shape referenced the input 12+ times and re-ran the upstream
+    simhash UDF in every subtree (measured 48 ArrowEvalPython operators /
+    32 scans in a single query plan before this rewrite); the exploded
+    shape references it twice (join left/right) plus once for the bucket
+    cap, and ``persist_hashes`` (default ON — the relation is 16 bytes/row)
+    caches it so the scoring UDF runs exactly once. Same handle/`
+    ``materialize`` contract as :func:`minhash_candidate_pairs`: the lazy
+    result exposes ``result.persisted_hashes`` to unpersist later, or pass
+    ``materialize=True`` to compute the (small) pairs eagerly and release
+    the cache before returning.
 
     ``max_bucket_size`` drops (chunk_idx, chunk_value) buckets above the cap
     before the self-join — at web scale a hot chunk value (e.g. all-zero
@@ -724,25 +743,55 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
     values) is an O(n²) bucket; the cap bounds every bucket's pair count,
     same rationale as MinHash's ``max_bucket_size``. ON by default
     (:data:`DEFAULT_MAX_BUCKET_SIZE`); ``None`` opts out."""
-    chunks = [F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
-              for i in range(4)]
-    t = hashes.where(F.col("simhash").isNotNull()).select(id_col, "simhash", *chunks)
-    out = None
-    for i in range(4):
-        band = t.select(id_col, "simhash", F.col(f"c{i}").alias("k"))
-        if max_bucket_size is not None:
-            band = _drop_hot_buckets(band, ["k"], max_bucket_size)
-        l = band.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "k")
-        r = band.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "k")
-        cand = l.join(r, "k").where(F.col("id_a") < F.col("id_b")).drop("k")
-        out = cand if out is None else out.unionByName(cand)
+    # persist BEFORE the null filter: a filter on a Python-UDF column pushes
+    # below the projection and DUPLICATES the UDF (filter + project each
+    # evaluate it — measured 2x per row); with the UDF inside the cached
+    # relation the filter reads the materialized column instead
+    t = hashes.select(id_col, "simhash")
+    if persist_hashes:
+        from pyspark import StorageLevel
+
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
+    t_nn = t.where(F.col("simhash").isNotNull())
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)
+    ])
+    banded = t_nn.select(
+        id_col, "simhash", F.posexplode(chunks).alias("band", "k"))
+    if max_bucket_size is not None:
+        banded = _drop_hot_buckets(banded, ["band", "k"], max_bucket_size)
+    l = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
+                      "band", "k")
+    r = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+                      "band", "k")
+    cand = (
+        l.join(r, ["band", "k"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()  # a pair colliding on several chunks appears once
+    )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
-        out.distinct()
-        .withColumn("hamming", hamming)
+    out = (
+        cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if materialize:
+        # pre-fill the cache with ONE job so the join's two sides cannot
+        # race the first fill (exactly-once hash computation), then land
+        # the pairs eagerly and free the cache
+        if persist_hashes:
+            t.count()
+        out = out.localCheckpoint(eager=True)
+        if persist_hashes:
+            t.unpersist()
+        out.persisted_hashes = None
+        return out
+    # lazy path: the first action's concurrent join-side stages may race the
+    # cache fill and compute the hashes up to twice; cached thereafter
+    out.persisted_hashes = t if persist_hashes else None
+    return out
 
 
 # ------------------------------------------------------------- ngram jaccard

@@ -816,3 +816,63 @@ def test_wav_truncated_data_chunk_rejected():
     assert _wav_pcm(wav) is not None
     # declared data size intact but bytes cut off (mid-download truncation)
     assert _wav_pcm(wav[:-40]) is None
+
+
+def test_simhash_pairs_evaluate_hashes_once(spark):
+    """r4 regression guard: the banding must be ONE posexplode self-join,
+    not a union of per-chunk joins — the union shape re-ran the upstream
+    hash computation in every subtree (measured 48 ArrowEvalPython
+    operators in one plan). An accumulator-bumping stand-in for the hash
+    column proves the input relation is computed exactly once."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from dataqualityassistant_spark.ops.dedup import simhash_candidate_pairs
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf(T.LongType())
+    def counted(ids):
+        acc.add(len(ids))
+        return ids
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"),
+                                 counted("id").alias("simhash"))
+    # materialize=True pre-fills the cache with one job: EXACTLY once per row
+    pairs = simhash_candidate_pairs(df, max_hamming=64, max_bucket_size=None,
+                                    materialize=True)
+    pairs.collect()
+    assert acc.value == 200, acc.value  # once per row, not once per subtree
+    # lazy path: concurrent join-side stages may race the first cache fill —
+    # bounded at 2 evaluations, never the 12+ of the old union-of-bands shape
+    acc2 = spark.sparkContext.accumulator(0)
+
+    @pandas_udf(T.LongType())
+    def counted2(ids):
+        acc2.add(len(ids))
+        return ids
+
+    df2 = spark.range(200).select(F.col("id").alias("doc_id"),
+                                  counted2("id").alias("simhash"))
+    lazy = simhash_candidate_pairs(df2, max_hamming=64, max_bucket_size=None)
+    lazy.collect()
+    assert acc2.value <= 400, acc2.value
+    lazy.persisted_hashes.unpersist()
+
+
+def test_simhash_pairs_materialize_and_handle(spark, docs):
+    """Same cache contract as minhash: lazy path exposes persisted_hashes;
+    materialize=True releases it before returning."""
+    from dataqualityassistant_spark.ops.dedup import simhash, simhash_candidate_pairs
+
+    hashes = simhash(docs)
+    lazy = simhash_candidate_pairs(hashes, max_hamming=20)
+    lazy.count()
+    h = lazy.persisted_hashes
+    assert h is not None and h.storageLevel.useMemory
+    h.unpersist()
+    eager = simhash_candidate_pairs(hashes, max_hamming=20, materialize=True)
+    assert eager.persisted_hashes is None
+    got = {(r["id_a"], r["id_b"]) for r in eager.collect()}
+    want = {(r["id_a"], r["id_b"]) for r in lazy.collect()}
+    assert got == want

@@ -145,42 +145,6 @@ def ensure_pages(spark, n_rows: int) -> str:
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("dqa-bench")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.driver.memory", "24g")  # local mode: driver is the executor
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    import __spark_entry__ as entrymod
-
-    queries = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        # warm with collect(), NOT count(): count() prunes UDF columns, so a
-        # count-warm leaves the 32 Python worker spawns + per-worker model
-        # builds inside the timed run (measured 7.2s first langid call vs
-        # 0.8s warm — a cluster amortizes that once per executor lifetime)
-        fn(spark, SF_DIR).collect()
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 4)
-
-    sf = _sf_label(SF_DIR)
-    # sized so the 16-core compute leg runs ≥30s: per-job fixed overhead
-    # (~5s of scheduling/shuffle/Arrow setup) must stay <15% of the measured
-    # window or Amdahl noise dominates the scaling-efficiency estimate
-    n_pages = 200000 if sf >= 0.1 else 5000
-    pages_path = ensure_pages(spark, n_pages)
-    spark.stop()
-
     have_taskset = subprocess.run(["which", "taskset"], capture_output=True).returncode == 0
 
     def canary_once(cores: int) -> float:
@@ -216,6 +180,62 @@ def main() -> None:
     _marks_env = os.environ.get("SPARK_GRAFT_CANARY_MARKS")
     if _marks_env:
         HEALTHY_CANARY.update({int(k): float(v) for k, v in json.loads(_marks_env).items()})
+
+    # The headline phase has the same exposure as the scaling legs: the r4
+    # run-2 record showed UDF-heavy query times inflated 2-8x by a host
+    # window while the code (re-measured clean) was unchanged. Guard it the
+    # same way: wait out a degraded window before starting (bounded), time
+    # each query as MIN of two full collects (the warm pass stays separate —
+    # it absorbs Python-worker spawns), and bracket the phase with canaries
+    # recorded in the output.
+    head_waits = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "9"))
+    head_pre = canary(CPUS)
+    while head_pre < HEALTHY_CANARY.get(CPUS, 0.0) and head_waits > 0:
+        head_waits -= 1
+        time.sleep(20)
+        head_pre = canary(CPUS)
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("dqa-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.driver.memory", "24g")  # local mode: driver is the executor
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # warm with collect(), NOT count(): count() prunes UDF columns, so a
+        # count-warm leaves the 32 Python worker spawns + per-worker model
+        # builds inside the timed run (measured 7.2s first langid call vs
+        # 0.8s warm — a cluster amortizes that once per executor lifetime)
+        fn(spark, SF_DIR).collect()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+
+    head_post = canary(CPUS)
+
+    sf = _sf_label(SF_DIR)
+    # sized so the 16-core compute leg runs ≥30s: per-job fixed overhead
+    # (~5s of scheduling/shuffle/Arrow setup) must stay <15% of the measured
+    # window or Amdahl noise dominates the scaling-efficiency estimate
+    n_pages = 200000 if sf >= 0.1 else 5000
+    pages_path = ensure_pages(spark, n_pages)
+    spark.stop()
 
     def leg(cores: int, skip_e2e: bool, repeats: int) -> dict:
         cmd = [sys.executable, "-m", "dataqualityassistant_spark.benchrun",
@@ -288,6 +308,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # host-speed brackets around the per-query phase: times from a run
+        # whose headline canaries sit below the full-cores mark (27) were
+        # measured in a degraded window — compare against the marks before
+        # reading anything into per-query deltas
+        "headline_canaries": [head_pre, head_post],
         "sf": sf,
         "pages_rows": n_pages,
         "docs_per_sec": round(full["compute_docs_per_sec"], 2),

@@ -543,9 +543,12 @@ def q_minhash_dup_pairs(spark, sf_dir):
     # single-file input = 1-2 splits; spread signature computation across cores
     both = docs.unionByName(shifted).repartition(spark.sparkContext.defaultParallelism)
     sigs = minhash_signatures(both, n_hashes=64, shingle=9)
-    # n_hashes passed through => zero eager probes; signatures persisted
-    # inside (the relation feeds 4 plan subtrees)
-    return minhash_candidate_pairs(sigs, bands=16, threshold=0.9, n_hashes=64)
+    # n_hashes passed through => zero eager probes; materialize=True: the
+    # signature relation (feeds 4 plan subtrees) is cached for exactly one
+    # evaluation and RELEASED before returning — a lazy call per driver/
+    # bench invocation would leak one cache entry per call until session end
+    return minhash_candidate_pairs(sigs, bands=16, threshold=0.9, n_hashes=64,
+                                   materialize=True)
 
 
 def q_dedup_survivors(spark, sf_dir):
@@ -557,7 +560,10 @@ def q_dedup_survivors(spark, sf_dir):
     shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     both = docs.unionByName(shifted).repartition(spark.sparkContext.defaultParallelism)
     sigs = minhash_signatures(both, n_hashes=64, shingle=9)
-    pairs = minhash_candidate_pairs(sigs, bands=16, threshold=0.9, n_hashes=64)
+    # materialize: the iterative closure consumes the pairs repeatedly —
+    # checkpointed pairs + released signature cache (no per-call leak)
+    pairs = minhash_candidate_pairs(sigs, bands=16, threshold=0.9, n_hashes=64,
+                                    materialize=True)
     return drop_near_duplicates(both, pairs).select("doc_id")
 
 
@@ -565,7 +571,9 @@ def q_simhash_dup_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("text").isNotNull())
     shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     both = docs.unionByName(shifted).repartition(spark.sparkContext.defaultParallelism)
-    return simhash_candidate_pairs(simhash(both), max_hamming=2)
+    # materialize=True: exactly-once hash evaluation and no cache entry left
+    # behind per invocation (same rationale as q_minhash_dup_pairs)
+    return simhash_candidate_pairs(simhash(both), max_hamming=2, materialize=True)
 
 
 def _spread(spark, df):

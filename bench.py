@@ -74,10 +74,13 @@ def run_gated_legs(plan, leg_fn, canary_fn, marks, gate_cores,
     """
     invocations: dict[int, list[dict]] = {}
     legs_retried = 0
-    queue = list(plan)
-    attempts: dict[tuple, int] = {}
+    # attempts are keyed by PLAN INDEX, not by (cores, skip, repeats) value:
+    # the plan intentionally contains identical legs (e.g. two hi skip-e2e
+    # invocations) and each must get its own documented <=2-retry allowance
+    queue = list(enumerate(plan))
+    attempts: dict[int, int] = {}
     while queue:
-        cores, skip, repeats = queue.pop(0)
+        idx, (cores, skip, repeats) = queue.pop(0)
         mark = marks.get(cores, 0.0)
         pre = canary_fn(cores)
         while pre < mark and wait_budget > 0:
@@ -93,13 +96,12 @@ def run_gated_legs(plan, leg_fn, canary_fn, marks, gate_cores,
         r["canary"] = can
         r["degraded"] = degraded
         invocations.setdefault(cores, []).append(r)
-        key = (cores, skip, repeats)
-        attempts[key] = attempts.get(key, 0) + 1
+        attempts[idx] = attempts.get(idx, 0) + 1
         if (degraded and cores in gate_cores and retry_budget > 0
-                and attempts[key] < max_attempts_per_leg):
+                and attempts[idx] < max_attempts_per_leg):
             retry_budget -= 1
             legs_retried += 1
-            queue.append(key)
+            queue.append((idx, (cores, skip, repeats)))
     return invocations, legs_retried
 
 

@@ -253,6 +253,27 @@ def minhash_signature_batch(texts, n_hashes: int = 128, shingle: int = 9,
     return out
 
 
+def _finalize_pairs(out: DataFrame, cached: DataFrame | None,
+                    materialize: bool, attr: str) -> DataFrame:
+    """Shared tail of the candidate-pair builders (minhash/simhash). Either
+    materialize the (small) pairs eagerly — pre-filling the cached input
+    relation with ONE job so concurrent join-side stages cannot race the
+    first fill and re-run the scoring UDF, landing the pairs via
+    ``localCheckpoint`` and releasing the cache before returning — or
+    return the lazy plan with the unpersist handle attached as ``attr``
+    (``None`` when nothing was cached)."""
+    if materialize:
+        if cached is not None:
+            cached.count()
+        out = out.localCheckpoint(eager=True)
+        if cached is not None:
+            cached.unpersist()
+        setattr(out, attr, None)
+        return out
+    setattr(out, attr, cached)
+    return out
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        n_hashes: int = 128, shingle: int = 9, seed: int = 42) -> DataFrame:
     """(id, signature array<long>) via an Arrow-batched numpy UDF over
@@ -374,22 +395,11 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .where(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
-    if materialize:
-        # eager: pre-fill the signature cache with ONE job (the four
-        # consuming subtrees would otherwise race the first fill and
-        # compute the UDF up to twice), then land the pairs in executor
-        # block storage (small rows) and free the cache
-        if persist_signatures:
-            signatures.count()
-        out = out.localCheckpoint(eager=True)
-        if persist_signatures:
-            signatures.unpersist()
-        out.persisted_signatures = None
-        return out
-    # caller-side unpersist handle (see docstring) — plain attribute on the
-    # returned DataFrame, None when the caller persisted upstream themselves
-    out.persisted_signatures = signatures if persist_signatures else None
-    return out
+    # caller-side unpersist handle via _finalize_pairs (see docstring) —
+    # plain attribute on the returned DataFrame, None when the caller
+    # persisted upstream themselves or materialized
+    return _finalize_pairs(out, signatures if persist_signatures else None,
+                           materialize, "persisted_signatures")
 
 
 def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFrame,
@@ -476,6 +486,13 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
                                     max_bucket_size, n_hashes=n_hashes,
                                     persist_signatures=False)
     survivors = drop_near_duplicates(new_docs, pairs, id_col)
+    if str(batch_id) == COMPACTED_BATCH_ID:
+        # the reserved compaction partition: using it as a batch id would
+        # BOTH exclude the entire compacted corpus from the dedup join and
+        # dynamically overwrite (destroy) it on the store write below
+        raise ValueError(
+            f"batch_id {COMPACTED_BATCH_ID!r} is reserved for "
+            "compact_signature_store output")
     from pyspark.errors import AnalysisException
 
     try:
@@ -486,10 +503,13 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
                   .where(F.col("batch_id") != F.lit(str(batch_id)))
                   .select(id_col, "signature"))
         store_exists = True
-    except AnalysisException:  # first batch: no store yet (PATH_NOT_FOUND)
-        # ONLY the missing-path analysis error means "first batch" — a
-        # transient IO/permission/corrupt-store failure must raise, not
+    except AnalysisException as exc:
+        # ONLY the missing-path error class means "first batch" — any other
+        # analysis failure (wrong schema from a mistyped path, unreadable
+        # store, missing batch_id/signature column) must raise, not
         # silently skip the batch-vs-corpus dedup and accept duplicates
+        if exc.getCondition() != "PATH_NOT_FOUND":
+            raise
         store_exists = False
     if store_exists:
         surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")
@@ -537,18 +557,27 @@ def compact_signature_store(spark, store_path: str, n_buckets: int = 64,
     folded to one row per id here (min signature per id — signatures for the
     same id are identical anyway since the hash params are fixed).
 
-    Local-filesystem staging: the rewrite lands in ``<store>.compact.tmp``
-    then atomically replaces the store directory. On an object store /
-    real cluster, run the same rewrite through a table format's compaction
-    (e.g. Iceberg ``rewrite_data_files``) instead of directory renames.
+    Local-filesystem staging: the rewrite lands in ``<store>.compact.tmp``,
+    the old store is renamed aside (``<store>.pre-compact``), the staging
+    dir renamed into place, and only then is the old store deleted — each
+    step an atomic rename, so no crash point loses data (a crash between
+    the two renames leaves the store at ``<store>.pre-compact``: rename it
+    back, or re-run compaction on it). On an object store / real cluster,
+    run the same rewrite through a table format's compaction (e.g. Iceberg
+    ``rewrite_data_files``) instead of directory renames.
 
     Returns the number of (id, signature) rows in the compacted store.
     """
     import os
     import shutil
 
-    df = spark.read.parquet(store_path).select(id_col, "signature")
-    staging = store_path.rstrip("/") + ".compact.tmp"
+    # normalize ONCE: a trailing slash would otherwise make rmtree/rename
+    # operate on a different spelling than the staging path (Linux rejects
+    # renaming onto a trailing-slash nonexistent dir — store loss)
+    base = store_path.rstrip("/")
+    staging = base + ".compact.tmp"
+    backup = base + ".pre-compact"
+    df = spark.read.parquet(base).select(id_col, "signature")
     compacted = (
         df.groupBy(id_col).agg(F.min("signature").alias("signature"))
         .repartition(n_buckets, F.xxhash64(F.col(id_col)))
@@ -556,8 +585,11 @@ def compact_signature_store(spark, store_path: str, n_buckets: int = 64,
     )
     (compacted.write.mode("overwrite").partitionBy("batch_id").parquet(staging))
     n = spark.read.parquet(staging).count()
-    shutil.rmtree(store_path)
-    os.rename(staging, store_path)
+    if os.path.exists(backup):  # leftover from an interrupted compaction
+        shutil.rmtree(backup)
+    os.rename(base, backup)
+    os.rename(staging, base)
+    shutil.rmtree(backup)
     return int(n)
 
 
@@ -777,21 +809,10 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    if materialize:
-        # pre-fill the cache with ONE job so the join's two sides cannot
-        # race the first fill (exactly-once hash computation), then land
-        # the pairs eagerly and free the cache
-        if persist_hashes:
-            t.count()
-        out = out.localCheckpoint(eager=True)
-        if persist_hashes:
-            t.unpersist()
-        out.persisted_hashes = None
-        return out
     # lazy path: the first action's concurrent join-side stages may race the
     # cache fill and compute the hashes up to twice; cached thereafter
-    out.persisted_hashes = t if persist_hashes else None
-    return out
+    return _finalize_pairs(out, t if persist_hashes else None,
+                           materialize, "persisted_hashes")
 
 
 # ------------------------------------------------------------- ngram jaccard

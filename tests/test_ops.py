@@ -876,3 +876,57 @@ def test_simhash_pairs_materialize_and_handle(spark, docs):
     got = {(r["id_a"], r["id_b"]) for r in eager.collect()}
     want = {(r["id_a"], r["id_b"]) for r in lazy.collect()}
     assert got == want
+
+
+def test_incremental_dedup_wrong_schema_store_raises(spark, tmp_path):
+    """Only PATH_NOT_FOUND means 'first batch'. A store path that points at
+    an EXISTING dataset without the signature schema (mistyped path, foreign
+    table) must raise, not silently skip corpus dedup."""
+    from pyspark.errors import AnalysisException
+
+    from dataqualityassistant_spark.ops.dedup import incremental_dedup
+
+    store = str(tmp_path / "foreign")
+    spark.range(5).write.parquet(store)  # a real dataset, wrong schema
+    b = spark.createDataFrame([(1, BASE)], "doc_id: long, text: string")
+    with pytest.raises(AnalysisException):
+        incremental_dedup(b, store, batch_id="x", n_hashes=64,
+                          shingle=5, threshold=0.5)
+
+
+def test_incremental_dedup_rejects_reserved_batch_id(spark, tmp_path):
+    """batch_id='__compacted__' would exclude the whole compacted corpus
+    from dedup AND dynamically overwrite it — rejected up front."""
+    from dataqualityassistant_spark.ops.dedup import (
+        COMPACTED_BATCH_ID,
+        incremental_dedup,
+    )
+
+    b = spark.createDataFrame([(1, BASE)], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="reserved"):
+        incremental_dedup(b, str(tmp_path / "s"), batch_id=COMPACTED_BATCH_ID,
+                          n_hashes=64, shingle=5, threshold=0.5)
+
+
+def test_compact_store_trailing_slash_and_backup_cleanup(spark, tmp_path):
+    """Regression (r4 review): a trailing slash on the store path must not
+    strand the store (rmtree on one spelling + rename onto another), and no
+    staging/backup dirs survive a successful compaction."""
+    import os
+
+    from dataqualityassistant_spark.ops.dedup import (
+        compact_signature_store,
+        incremental_dedup,
+    )
+
+    store = str(tmp_path / "sigstore")
+    df = spark.createDataFrame([(1, BASE), (3, OTHER)], "doc_id: long, text: string")
+    incremental_dedup(df, store, batch_id="b1", n_hashes=64, shingle=5,
+                      threshold=0.5)
+    n = compact_signature_store(spark, store + "/", n_buckets=2)  # trailing slash
+    assert n == 2
+    assert os.path.isdir(store)
+    assert not os.path.exists(store + ".compact.tmp")
+    assert not os.path.exists(store + ".pre-compact")
+    got = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert got == {1, 3}

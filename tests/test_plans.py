@@ -127,14 +127,28 @@ def test_vocab_topk_is_partial_agg_plus_take_ordered(spark):
 def test_minhash_pairs_reuse_cached_signatures(spark):
     """The signature relation feeds four plan subtrees (band join left/right
     + two re-attach joins); minhash_candidate_pairs persists it, so the
-    executed plan must read the signatures from the cache (InMemoryRelation),
-    not recompute the Arrow UDF per subtree."""
+    LAZY plan must read the signatures from the cache (InMemoryRelation),
+    not recompute the Arrow UDF per subtree. The entry query materializes
+    (r4): its returned plan is the checkpointed pairs — no UDF, no cache
+    entry left behind."""
+    from dataqualityassistant_spark.ops.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
     import __spark_entry__ as entrymod
 
-    df = entrymod.q_minhash_dup_pairs(spark, SF)
-    df.count()  # materialize (fills the cache, executes the real plan)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    sigs = minhash_signatures(docs, n_hashes=64, shingle=9)
+    lazy = minhash_candidate_pairs(sigs, bands=16, threshold=0.9, n_hashes=64)
+    lazy.count()  # fills the cache, executes the real plan
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+    lazy.persisted_signatures.unpersist()
+
+    df = entrymod.q_minhash_dup_pairs(spark, SF)
+    eplan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in eplan          # checkpointed pairs, compute done
+    assert "ArrowEvalPython" not in eplan  # no UDF re-evaluation possible
 
 
 def test_failing_expectation_samples_run_as_one_job(spark):

@@ -477,6 +477,15 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
     hot buckets capped); nothing ever re-self-joins the whole corpus. At
     10^12 accepted docs, compact the store periodically into bucketed files
     on the band hash for a fully co-located join."""
+    if str(batch_id) == COMPACTED_BATCH_ID:
+        # the reserved compaction partition: using it as a batch id would
+        # BOTH exclude the entire compacted corpus from the dedup join and
+        # dynamically overwrite (destroy) it on the store write below.
+        # Checked FIRST: a pure argument error must not cost Spark jobs or
+        # leak the signature cache persisted below.
+        raise ValueError(
+            f"batch_id {COMPACTED_BATCH_ID!r} is reserved for "
+            "compact_signature_store output")
     spark = new_docs.sparkSession
     from pyspark import StorageLevel
 
@@ -486,13 +495,6 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
                                     max_bucket_size, n_hashes=n_hashes,
                                     persist_signatures=False)
     survivors = drop_near_duplicates(new_docs, pairs, id_col)
-    if str(batch_id) == COMPACTED_BATCH_ID:
-        # the reserved compaction partition: using it as a batch id would
-        # BOTH exclude the entire compacted corpus from the dedup join and
-        # dynamically overwrite (destroy) it on the store write below
-        raise ValueError(
-            f"batch_id {COMPACTED_BATCH_ID!r} is reserved for "
-            "compact_signature_store output")
     from pyspark.errors import AnalysisException
 
     try:
@@ -510,6 +512,19 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
         # silently skip the batch-vs-corpus dedup and accept duplicates
         if exc.getCondition() != "PATH_NOT_FOUND":
             raise
+        import os as _os
+
+        backup = store_path.rstrip("/") + ".pre-compact"
+        if _os.path.exists(backup):
+            # an interrupted compaction renamed the store aside but died
+            # before renaming the replacement in: the data is intact at
+            # `backup`, and treating the missing base path as "first batch"
+            # here would silently skip corpus dedup AND bury the corpus
+            raise RuntimeError(
+                f"signature store missing at {store_path!r} but an "
+                f"interrupted compaction left it at {backup!r}; rename it "
+                "back (or re-run compact_signature_store on it) before "
+                "continuing")
         store_exists = False
     if store_exists:
         surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")

@@ -38,14 +38,18 @@ def diagnose_skew(df: DataFrame, keys: str | list[str], k: int = 20) -> DataFram
     # instead of an eager df.count() (which would scan the corpus once at
     # call time and again per evaluation)
     total = df.agg(F.count(F.lit(1)).cast("double").alias("__total"))
-    # no zero-total guard needed: a `counted` row implies >=1 input row, so
-    # __total >= 1 wherever frac is evaluated (empty input -> empty result,
-    # tested); a when() here would be an unreachable branch per output row
+    # zero-total guard: unreachable for deterministic inputs (a counted row
+    # implies >=1 input row; empty input -> empty result, tested) but
+    # `counted` and `total` re-scan df INDEPENDENTLY inside the crossJoin
+    # plan, so a non-deterministic frame (rand()-sampled) can legally yield
+    # counted rows alongside __total == 0 — frac degrades to 0.0 instead of
+    # Infinity there
+    frac = F.when(F.col("__total") > 0, F.col("n") / F.col("__total")).otherwise(F.lit(0.0))
     return (
         counted.crossJoin(F.broadcast(total))
         .orderBy(F.desc("n"), *key_list)
         .limit(k)
-        .select(*key_list, "n", (F.col("n") / F.col("__total")).alias("frac"))
+        .select(*key_list, "n", frac.alias("frac"))
     )
 
 

@@ -55,6 +55,12 @@ def stream_dedup(
         raise ValueError("pass exactly one of cols= or text_col=")
     out = df.withWatermark(ts_col, watermark)
     if text_col is not None:
+        if "__dedup_key" in df.columns:
+            # withColumn would silently REPLACE the caller's column and the
+            # trailing drop would then remove it from the output schema
+            raise ValueError(
+                "input already has a __dedup_key column; rename it or "
+                "dedup on cols=['__dedup_key'] directly")
         out = out.withColumn("__dedup_key", F.xxhash64(F.col(text_col)))
         return out.dropDuplicatesWithinWatermark(["__dedup_key"]).drop("__dedup_key")
     return out.dropDuplicatesWithinWatermark(list(cols))

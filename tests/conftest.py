@@ -27,3 +27,29 @@ def spark():
 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# ---------------------------- shared streaming-test helpers (file-source
+# streams are driven by dropping one parquet batch per subdirectory)
+
+def event_ts(m, s=0):
+    """Minute/second within the fixed test hour 2024-01-01T00."""
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+def write_stream_batch(spark, path, name, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def poll_until(fn, timeout=60):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if fn():
+            return True
+        time.sleep(1)
+    return False

@@ -930,3 +930,20 @@ def test_compact_store_trailing_slash_and_backup_cleanup(spark, tmp_path):
     assert not os.path.exists(store + ".pre-compact")
     got = {r["doc_id"] for r in spark.read.parquet(store).collect()}
     assert got == {1, 3}
+
+
+def test_incremental_dedup_detects_interrupted_compaction(spark, tmp_path):
+    """A crash between compaction's two renames leaves the corpus at
+    <store>.pre-compact with the base path missing — that must NOT be
+    misread as 'first batch' (which would skip corpus dedup and bury the
+    corpus under a fresh store)."""
+    import os
+
+    from dataqualityassistant_spark.ops.dedup import incremental_dedup
+
+    store = str(tmp_path / "sigstore")
+    os.makedirs(store + ".pre-compact")  # interrupted-compaction marker
+    b = spark.createDataFrame([(1, BASE)], "doc_id: long, text: string")
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        incremental_dedup(b, store, batch_id="b1", n_hashes=64,
+                          shingle=5, threshold=0.5)

@@ -2,34 +2,22 @@
 the horizon are dropped, the same key past the horizon is a fresh
 observation, and state is keyed on the 8-byte content hash."""
 
-import datetime as dt
 import os
 import sys
-import time
 
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from conftest import event_ts as t, poll_until as _poll, write_stream_batch
+
 from dataqualityassistant_spark.streaming.dedup import stream_dedup
 
-
-def t(m, s=0):
-    return dt.datetime(2024, 1, 1, 0, m, s)
+_SCHEMA = "doc_id long, ts timestamp, text string"
 
 
 def _write(spark, path, name, rows):
-    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
-    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}")
-
-
-def _poll(fn, timeout=60):
-    deadline = time.time() + timeout
-    while time.time() < deadline:
-        if fn():
-            return True
-        time.sleep(1)
-    return False
+    write_stream_batch(spark, path, name, rows, _SCHEMA)
 
 
 def test_stream_dedup_within_and_past_watermark(spark, tmp_path):
@@ -103,3 +91,10 @@ def test_stream_dedup_arg_validation(spark):
         stream_dedup(df)
     with pytest.raises(ValueError, match="exactly one"):
         stream_dedup(df, cols=["doc_id"], text_col="text")
+
+
+def test_stream_dedup_rejects_dedup_key_collision(spark):
+    df = spark.createDataFrame([], "doc_id long, ts timestamp, text string") \
+        .withColumnRenamed("doc_id", "__dedup_key")
+    with pytest.raises(ValueError, match="__dedup_key"):
+        stream_dedup(df, text_col="text")

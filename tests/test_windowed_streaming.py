@@ -3,14 +3,14 @@ the entry contract (`events_windowed`); here the STREAMING semantics —
 append-mode window finalization and too-late-row dropping — are driven
 through a file-source stream."""
 
-import datetime as dt
 import os
 import sys
-import time
 
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from conftest import event_ts as t, poll_until as _poll, write_stream_batch
 
 from pyspark.sql import functions as F
 
@@ -18,21 +18,7 @@ from dataqualityassistant_spark.streaming.windowed import windowed_counts
 
 
 def _write(spark, path, name, rows):
-    df = spark.createDataFrame(rows, "ts timestamp, value double")
-    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}")
-
-
-def _poll(fn, timeout=60):
-    deadline = time.time() + timeout
-    while time.time() < deadline:
-        if fn():
-            return True
-        time.sleep(1)
-    return False
-
-
-def t(m, s=0):
-    return dt.datetime(2024, 1, 1, 0, m, s)
+    write_stream_batch(spark, path, name, rows, "ts timestamp, value double")
 
 
 def test_append_mode_finalization_and_late_drop(spark, tmp_path):

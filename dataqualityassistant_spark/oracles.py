@@ -230,6 +230,13 @@ def _fingerprints_expected(sf_dir: str) -> list[tuple]:
     return rows
 
 
+def _doc_signals_expected(sf_dir: str) -> list[tuple]:
+    """Merged per-document repetition signals (winnowing fingerprint count +
+    zlib compression ratio) — one row per doc, joined on doc_id."""
+    comp = dict(_compression_ratio_expected(sf_dir))
+    return [(i, n, comp[i]) for i, n in _fingerprints_expected(sf_dir)]
+
+
 @lru_cache(maxsize=4)
 def _docs_lang(sf_dir: str) -> tuple[tuple[int, str | None], ...]:
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
@@ -428,10 +435,10 @@ def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             ["doc_id", "bucket", "pack_id"],
             [_sql_bigint, _sql_int, _sql_int],
         ),
-        "compression_ratio": values_sql(
-            _compression_ratio_expected(sf_dir),
-            ["doc_id", "compression_ratio"],
-            [_sql_bigint, _sql_double],
+        "doc_signals": values_sql(
+            _doc_signals_expected(sf_dir),
+            ["doc_id", "n_fingerprints", "compression_ratio"],
+            [_sql_bigint, _sql_int, _sql_double],
         ),
         "corpus_mix": values_sql(
             _corpus_mix_expected(sf_dir),
@@ -452,11 +459,6 @@ def fixture_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
             _stratified_sample_expected(sf_dir),
             ["doc_id", "lang"],
             [_sql_bigint, _sql_varchar],
-        ),
-        "fingerprints": values_sql(
-            _fingerprints_expected(sf_dir),
-            ["doc_id", "n_fingerprints"],
-            [_sql_bigint, _sql_int],
         ),
         # ANN: only the LSH bucket membership is computed here; the cosine
         # scoring + ordering stays in DuckDB (same shape as the exhaustive

@@ -58,6 +58,14 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_query_count_fits_driver_budget():
+    """The driver records exactly 50 CORRECTNESS rows per round; keep the
+    contract at exactly 50 queries so every family gets driver evidence
+    every round (round-4 verdict: 5 of 55 queries went two rounds without a
+    driver row). To add a query, merge or retire another."""
+    assert len(QUERIES) == 50, sorted(QUERIES)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     got = QUERIES[name](spark, SF_DIR).toPandas()
@@ -90,6 +98,6 @@ def test_fixture_oracles_degrade_gracefully_without_testdata():
     # and with real testdata they cover exactly the non-SQL queries
     got = fixture_oracle_sql(SF_DIR)
     assert set(got) == {"minhash_dup_pairs", "simhash_dup_pairs", "langid_docs",
-                        "perplexity_docs", "fingerprints", "ann_lsh_topk",
+                        "perplexity_docs", "doc_signals", "ann_lsh_topk",
                         "lang_distribution", "stratified_sample", "ivf_topk", "packed_sequences",
-                        "dedup_survivors", "sample_topn", "corpus_mix", "compression_ratio"}
+                        "dedup_survivors", "sample_topn", "corpus_mix"}

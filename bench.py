@@ -55,6 +55,15 @@ HEADLINE = [
     "simhash_dup_pairs",
 ]
 
+# Round-over-round comparability: the headline set has grown 12 → 16 → 17
+# queries across rounds, so the JSON carries fixed-subset subtotals next to
+# the full total — a future round that extends HEADLINE stays directly
+# comparable to the r3/r4 records without hand-arithmetic.
+SUBTOTAL_SETS = {
+    "subtotal_16q": HEADLINE[:16],  # the r3 headline set
+    "subtotal_17q": HEADLINE[:17],  # the r4 headline set
+}
+
 
 def run_gated_legs(plan, leg_fn, canary_fn, marks, gate_cores,
                    retry_budget=4, wait_budget=9, sleep_fn=time.sleep,
@@ -116,10 +125,15 @@ def pick_best(invocations, cores):
     best = dict(max(pool, key=lambda r: r["compute_docs_per_sec"]))
     e2e_pool = [r for r in pool if r.get("e2e_docs_per_sec")] or \
                [r for r in runs if r.get("e2e_docs_per_sec")]
+    best["e2e_degraded"] = False
     if e2e_pool:
         be = max(e2e_pool, key=lambda r: r["e2e_docs_per_sec"])
         best["e2e_sec"] = be["e2e_sec"]
         best["e2e_docs_per_sec"] = be["e2e_docs_per_sec"]
+        # the e2e number can come from a degraded invocation even when the
+        # compute pool was healthy (the pools differ: not every invocation
+        # carries e2e) — flag its provenance so it's never silently trusted
+        best["e2e_degraded"] = bool(be["degraded"])
     best["host_degraded"] = not healthy
     best["compute_rates"] = [round(r["compute_docs_per_sec"], 2) for r in runs]
     best["canaries"] = [r["canary"] for r in runs]
@@ -310,6 +324,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # fixed prior-round query subsets (see SUBTOTAL_SETS) for direct
+        # round-over-round comparison even when HEADLINE grows
+        **{k: round(sum(timings[n] for n in names if n in timings), 4)
+           for k, names in SUBTOTAL_SETS.items()},
         # host-speed brackets around the per-query phase: times from a run
         # whose headline canaries sit below the full-cores mark (27) were
         # measured in a degraded window — compare against the marks before
@@ -319,6 +337,10 @@ def main() -> None:
         "pages_rows": n_pages,
         "docs_per_sec": round(full["compute_docs_per_sec"], 2),
         "e2e_docs_per_sec": round(full["e2e_docs_per_sec"], 2),
+        # true when the selected e2e number came from a degraded-canary
+        # invocation (the e2e pool's health is independent of the compute
+        # pool's — not every invocation carries e2e)
+        "e2e_degraded": bool(full["e2e_degraded"]),
         "full_cores": full["cores"],
         "scaling": {
             "cores_lo": CORES_LO, "cores_hi": CORES_HI,
@@ -330,6 +352,7 @@ def main() -> None:
             "e2e_docs_per_sec_lo": round(lo["e2e_docs_per_sec"], 2),
             "e2e_docs_per_sec_hi": round(hi["e2e_docs_per_sec"], 2),
             "e2e_speedup": round(e2e_speedup, 3),
+            "e2e_degraded": bool(lo["e2e_degraded"] or hi["e2e_degraded"]),
             # canary verdict: host_degraded=true means EVERY invocation of a
             # scaling leg ran below the healthy burn mark even after gated
             # waits + retries — the raw efficiency then measures the shared

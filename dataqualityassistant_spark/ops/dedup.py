@@ -461,20 +461,30 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 
 def _read_signature_store(spark, store_path: str) -> DataFrame:
-    """Read the signature store with partition-column type inference OFF for
-    the duration of the read call (discovery/inference is eager there).
+    """Read the signature store with ``batch_id`` pinned to STRING.
+
     Batch ids are strings: all-numeric partition dirs (``batch_id=1``)
     would otherwise infer ``batch_id`` as INT — the next string batch id
     then fails the replay filter with an ANSI cast error (or silently
     NULLs it with ANSI off, dropping the whole corpus from the dedup), and
-    ``batch_id=01`` / ``batch_id=1`` would collapse to the same value."""
-    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old = spark.conf.get(conf_key, "true")
-    spark.conf.set(conf_key, "false")
-    try:
-        return spark.read.parquet(store_path)
-    finally:
-        spark.conf.set(conf_key, old)
+    ``batch_id=01`` / ``batch_id=1`` would collapse to the same value.
+
+    Done via an EXPLICIT read schema (file schema from the parquet footers
+    via a partition-discovery-free probe + ``batch_id`` StringType), not by
+    toggling ``partitionColumnTypeInference.enabled`` on the session — the
+    conf is global, so scoping it around the read silently string-typed
+    partition columns for any concurrent partitioned read on another
+    thread of the same session."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # recursiveFileLookup skips partition discovery entirely, so this probe
+    # yields the DATA columns only (one footer read; raises the same
+    # PATH_NOT_FOUND AnalysisException on a missing store as before)
+    data_schema = (spark.read.option("recursiveFileLookup", "true")
+                   .parquet(store_path).schema)
+    full = StructType(list(data_schema.fields) +
+                      [StructField("batch_id", StringType())])
+    return spark.read.schema(full).parquet(store_path)
 
 
 def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFrame,
@@ -496,8 +506,9 @@ def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFram
 
     Scan note: the CORPUS relation feeds three subtrees (the bucket-cap
     count, the banded join, and the sig_b re-attach) — a plain parquet store
-    is read up to three times per call. For frequent small/medium stores
-    pass a pre-persisted frame; at scale the bucketed-store layout (the
+    is read up to three times per call. Pass a pre-persisted frame
+    (:func:`incremental_dedup` persists its corpus projection for the
+    duration of the step); at scale the bucketed-store layout (the
     compaction target) amortizes this across batches."""
 
     def banded(sigs: DataFrame, out_id: str) -> DataFrame:
@@ -590,6 +601,7 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
 
     sigs = minhash_signatures(new_docs, text_col, id_col, n_hashes, shingle, seed) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    corpus = None  # bound before the try so the finally can always release it
     try:
         pairs = minhash_candidate_pairs(sigs, id_col, bands, threshold,
                                         max_bucket_size, n_hashes=n_hashes,
@@ -600,10 +612,15 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
         try:
             # exclude THIS batch's partition (partition-pruned): a replay
             # after a crash-after-write must not match the batch against its
-            # own stored signatures and return zero survivors
+            # own stored signatures and return zero survivors.
+            # PERSISTED for the duration of the step: the corpus relation
+            # feeds three subtrees inside minhash_pairs_against (bucket-cap
+            # count, banded join, sig_b re-attach) — unpersisted, a plain
+            # parquet store would be scanned up to three times per batch.
             corpus = (_read_signature_store(spark, store_path)
                       .where(F.col("batch_id") != F.lit(str(batch_id)))
-                      .select(id_col, "signature"))
+                      .select(id_col, "signature")
+                      .persist(StorageLevel.MEMORY_AND_DISK))
             store_exists = True
         except AnalysisException as exc:
             # ONLY the missing-path error class means "first batch" — any
@@ -651,6 +668,10 @@ def incremental_dedup(new_docs: DataFrame, store_path: str, batch_id: str,
         # the signature cache — a long-lived session retrying batches would
         # otherwise pin one full cache entry per failed attempt
         sigs.unpersist()
+        if corpus is not None:
+            # survivors are checkpointed above, so nothing downstream still
+            # references the corpus cache after the store write
+            corpus.unpersist()
     return survivors
 
 
@@ -783,6 +804,16 @@ def _crc32_columns(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
 #: cost vocab × token_len bytes
 _SIMHASH_MAX_TOKEN_CHARS = 256
 
+#: max occurrence rows gathered per vote-sum chunk. The gather materializes
+#: ~72 B per token occurrence (64×int8 gathered rows + the int64 inverse
+#: slice) and an Arrow batch of long docs can hold 10^8 occurrences —
+#: multi-GB transient without this bound (the same worker-memory failure
+#: mode _MINHASH_SLAB closes for the minhash kernel). 2M occurrences keeps
+#: the per-chunk transient ≈150 MB; votes are per-doc segment sums, so
+#: chunking the occurrence axis (mega-docs may even span chunks — their
+#: partial sums accumulate) is bit-identical to the one-gather formulation.
+_SIMHASH_SLAB = 2_000_000
+
 
 def simhash_batch(texts) -> list[int | None]:
     """SimHash for a batch of texts in vectorized numpy passes — bit-identical
@@ -860,11 +891,28 @@ def simhash_batch(texts) -> list[int | None]:
     bits = np.arange(64, dtype=np.uint64)
     pm_u = (2 * ((uh[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int8) - 1)
     nz = [i for i, n in enumerate(lengths) if n]
-    offsets = np.cumsum([0] + [lengths[i] for i in nz[:-1]])
-    gT = pm_u.T[:, inverse]  # (64, occurrences), rows contiguous
-    counts = np.empty((len(nz), 64), dtype=np.int64)
-    for b in range(64):
-        counts[:, b] = np.add.reduceat(gT[b], offsets, dtype=np.int64)
+    # end offset of each nz doc in the flat occurrence array
+    bounds = np.cumsum(np.asarray([lengths[i] for i in nz], dtype=np.int64))
+    pmT = pm_u.T  # (64, vocab); fancy-indexed below -> contiguous chunks
+    counts = np.zeros((len(nz), 64), dtype=np.int64)
+    # occurrence axis processed in <=_SIMHASH_SLAB chunks: the (64, chunk)
+    # gather is the only occurrence-sized transient. A doc spanning a chunk
+    # boundary contributes partial sums from each side (+= accumulates).
+    p, d = 0, 0  # chunk start offset; first doc not fully consumed
+    while p < total:
+        q = min(p + _SIMHASH_SLAB, total)
+        e = int(np.searchsorted(bounds, q))  # last doc touched by [p, q)
+        if e == len(bounds):
+            e -= 1
+        seg_docs = np.arange(d, e + 1)
+        # segment starts inside the chunk: doc d continues from p, docs
+        # d+1..e start at their own boundaries
+        rel = np.concatenate(([p], bounds[d:e])) - p
+        gchunk = pmT[:, inverse[p:q]]  # (64, q-p), rows contiguous
+        for b in range(64):
+            counts[seg_docs, b] += np.add.reduceat(gchunk[b], rel, dtype=np.int64)
+        d = e if bounds[e] > q else e + 1
+        p = q
     fp = ((counts > 0).astype(np.uint64) << bits[None, :]).sum(axis=1)
     vals = fp.astype(np.int64)
     for row, i in enumerate(nz):
@@ -973,13 +1021,21 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for all pairs sharing at least
     one shingle. Pure DataFrame algebra (explode → shingle self-join →
     count ∩ → |A|+|B|−∩ union). Exact and therefore the most expensive
-    strategy — at web scale run it only on LSH candidates; standalone it is
-    still bucket-local per shingle (hot shingles = skew; drop top-frequency
-    shingles upstream for real corpora)."""
+    strategy — at web scale run it only on LSH candidates.
+
+    ``max_shingle_df`` is the hot-shingle skew cap and is ON by default
+    (:data:`DEFAULT_MAX_BUCKET_SIZE`, matching the sibling pair generators):
+    a shingle appearing in more docs than the cap (template boilerplate) is
+    dropped before the self-join, since one such shingle alone goes O(n²).
+    Dropping shingles changes the Jaccard denominator for affected docs —
+    sizes are recomputed over the RETAINED shingle universe so intersection
+    and union stay consistent. Pass ``None`` to opt out explicitly (exact
+    textbook Jaccard; safe only when the corpus is known boilerplate-free,
+    e.g. when running on LSH candidates that were already capped)."""
     # explicit ASCII class == RE2 \s (the DuckDB oracle engine); Java \s
     # additionally includes \x0B and would tokenize such text differently
     words = F.filter(F.split(F.col(text_col), "[ \t\n\f\r]+"), lambda w: w != F.lit(""))

@@ -121,6 +121,16 @@ def test_e2e_falls_back_to_degraded_runs_when_only_those_have_e2e():
     assert not best["host_degraded"]          # the skip-e2e run was healthy
     assert best["compute_docs_per_sec"] == 2001
     assert best["e2e_docs_per_sec"] == 2000 * 0.9
+    # ADVICE r4: the degraded provenance of the e2e number is flagged even
+    # though host_degraded (compute-pool health) is false
+    assert best["e2e_degraded"]
+
+
+def test_e2e_degraded_false_when_healthy_run_carries_e2e():
+    host = Host([], {4: 2000, 16: 7700, 32: 9000})
+    inv, _ = _run(host)
+    best = pick_best(inv, 4)
+    assert not best["e2e_degraded"] and not best["host_degraded"]
 
 
 def test_ungated_cores_never_retry():

@@ -271,6 +271,49 @@ def test_simhash_batch_nul_and_edge_docs():
     assert simhash_batch(docs) == [simhash_one(d) for d in docs]
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=12), st.integers(min_value=1, max_value=7))
+def test_simhash_batch_slab_chunking_identical(docs, slab):
+    """The occurrence-axis slab bound (worker-memory guard for the vote
+    gather) is bit-identical at ANY chunk size — including slabs smaller
+    than a single doc, which forces mid-doc boundaries whose partial vote
+    sums must accumulate."""
+    from dataqualityassistant_spark.ops import dedup as dedup_mod
+
+    want = dedup_mod.simhash_batch(docs)  # default slab: one chunk here
+    old = dedup_mod._SIMHASH_SLAB
+    dedup_mod._SIMHASH_SLAB = slab
+    try:
+        got = dedup_mod.simhash_batch(docs)
+    finally:
+        dedup_mod._SIMHASH_SLAB = old
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=50))
+def test_crc32_columns_matches_zlib(byte_strings):
+    """VERDICT r4 #6: the table-driven column-iterating CRC-32 kernel vs
+    ``zlib.crc32`` DIRECTLY on random byte strings (including empty strings,
+    interior and trailing NULs — the padded-matrix layout must disambiguate
+    via the length vector, not the padding)."""
+    import numpy as np
+    import zlib
+
+    from dataqualityassistant_spark.ops.dedup import _crc32_columns
+
+    width = max((len(b) for b in byte_strings), default=0) or 1
+    mat = np.zeros((len(byte_strings), width), dtype=np.uint8)
+    lens = np.empty(len(byte_strings), dtype=np.int64)
+    for i, b in enumerate(byte_strings):
+        mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    got = _crc32_columns(mat, lens)
+    want = np.asarray([zlib.crc32(b) & 0xFFFFFFFF for b in byte_strings],
+                      dtype=np.uint32)
+    assert (got == want).all()
+
+
 # ------------------------------ algorithm-level properties (VERDICT r3 #8)
 
 def _hamming(a: int, b: int) -> int:

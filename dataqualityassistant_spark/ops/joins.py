@@ -74,16 +74,25 @@ def asof_join(
 
     **Hot keys** (``bucket_seconds``): the default plan puts ONE key in ONE
     window partition — a key with 10^9 rows serializes into a single task.
-    When ``tolerance`` is bounded, pass ``bucket_seconds`` (any value >=
-    ``tolerance``; e.g. the tolerance itself) to additionally partition by
-    ``floor(ts / bucket_seconds)``: a left row in time bucket B can only
-    match right rows in buckets B-1..B (backward; B..B+1 forward), so right
-    rows are replicated into the one neighbouring bucket (2x the right
-    relation, bounded) and the window runs per ``(key, bucket)`` — the hot
-    key's work spreads over ``time_span / bucket_seconds`` tasks. Results
-    are IDENTICAL to the unbucketed plan (differentially tested): the
-    running ``last`` still sees every candidate within ``tolerance``, and
-    the existing tolerance filter discards the out-of-range carry-ins.
+    Pass ``bucket_seconds`` to additionally partition by
+    ``floor(ts / bucket_seconds)`` so the hot key's work spreads over
+    ``time_span / bucket_seconds`` tasks. Results are IDENTICAL to the
+    unbucketed plan in all cases (differentially tested); the mechanism
+    adapts to the tolerance:
+
+    * ``tolerance <= bucket_seconds``: a left row in time bucket B can only
+      match right rows in buckets B-1..B (backward; B..B+1 forward), so
+      right rows are replicated into the one neighbouring bucket (2x the
+      right relation, bounded) and the tolerance filter discards the
+      out-of-range carry-ins;
+    * unbounded or wider-than-bucket tolerance: two-pass carry — the right
+      side is pre-aggregated to one best candidate per (key, bucket) (the
+      pre-aggregate-right-side recipe, built in), a running window over
+      that SMALL relation carries the best earlier candidate into every
+      left-occupied bucket, and one carry row per (key, bucket) joins the
+      bucket's own right rows. Two extra shuffles, both over aggregated
+      relations of ~keys x buckets rows — never over the raw inputs.
+
     Check :func:`~dataqualityassistant_spark.ops.skew.diagnose_skew` on the
     join key to decide whether you need this.
     """
@@ -126,19 +135,58 @@ def asof_join(
 
     part_cols: list = list(keys)
     if bucket_seconds is not None:
-        if tolerance is None or float(tolerance) > float(bucket_seconds):
-            raise ValueError(
-                "bucket_seconds requires a tolerance <= bucket_seconds "
-                f"(got tolerance={tolerance!r}, bucket_seconds={bucket_seconds!r}): "
-                "correctness of one-step neighbour replication depends on it")
         bw = F.lit(float(bucket_seconds))
         bucket = F.floor(_epoch_seconds(F.col("__asof_ts")) / bw).cast("long")
-        # a backward match lives in the left row's bucket or the one before,
-        # so each right row also serves the NEXT bucket (previous for forward)
-        shift = 1 if direction == "backward" else -1
-        r = r.withColumn("__asof_bucket",
-                         F.explode(F.array(bucket, bucket + F.lit(shift))))
         l = l.withColumn("__asof_bucket", bucket)
+        if tolerance is not None and float(tolerance) <= float(bucket_seconds):
+            # bounded tolerance: a backward match lives in the left row's
+            # bucket or the one before, so each right row also serves the
+            # NEXT bucket (previous for forward) — one explode, no extra
+            # shuffles; the tolerance filter discards out-of-range carry-ins
+            shift = 1 if direction == "backward" else -1
+            r = r.withColumn("__asof_bucket",
+                             F.explode(F.array(bucket, bucket + F.lit(shift))))
+        else:
+            # unbounded (or wider-than-bucket) tolerance: two-pass carry.
+            # Pass 1 pre-aggregates the right side to its best candidate per
+            # (key, bucket) — latest ts for backward, earliest for forward —
+            # then a running window over the SMALL per-bucket relation
+            # (ordered by bucket, with each left-occupied bucket's probe row
+            # sorted BEFORE that bucket's own best so only strictly-earlier
+            # buckets are visible) computes, for every left-occupied bucket,
+            # the best candidate from all preceding buckets. Pass 2 injects
+            # that one carry row per (key, left bucket) next to the bucket's
+            # own right rows; the usual in-partition running `last` then
+            # chooses between them. A carried row's ts is strictly outside
+            # the bucket's time range, so it always qualifies and never
+            # shadows an in-bucket candidate that should win.
+            r = r.withColumn("__asof_bucket", bucket)
+            pick = F.max_by if direction == "backward" else F.min_by
+            rb = r.groupBy(*keys, "__asof_bucket").agg(
+                pick(F.struct("__asof_ts", "__asof_payload"),
+                     "__asof_ts").alias("__asof_best"))
+            lb = (l.select(*keys, "__asof_bucket").distinct()
+                  .withColumn("__asof_best",
+                              F.lit(None).cast(rb.schema["__asof_best"].dataType))
+                  .withColumn("__asof_probe", F.lit(1)))
+            border = (F.col("__asof_bucket").asc_nulls_first()
+                      if direction == "backward"
+                      else F.col("__asof_bucket").desc_nulls_first())
+            wc = (Window.partitionBy(*keys)
+                  .orderBy(border, F.col("__asof_probe").desc())
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            carry_rows = (
+                lb.unionByName(rb.withColumn("__asof_probe", F.lit(0)))
+                .withColumn("__asof_carry",
+                            F.last("__asof_best", ignorenulls=True).over(wc))
+                .where((F.col("__asof_probe") == 1)
+                       & F.col("__asof_carry").isNotNull())
+                .select(*keys, "__asof_bucket",
+                        F.col("__asof_carry.__asof_ts").alias("__asof_ts"),
+                        F.lit(right_side).alias("__asof_side"),
+                        F.col("__asof_carry.__asof_payload").alias("__asof_payload"))
+            )
+            r = r.unionByName(carry_rows)
         part_cols.append("__asof_bucket")
 
     # allowMissingColumns fills the absent struct with NULL on each side

@@ -15,6 +15,10 @@ where a re-fetched page arriving months later is a *new observation* (batch
 signature store handles long-horizon dedup; this operator removes the
 short-horizon burst duplicates — retried fetches, mirror hosts, duplicate
 queue deliveries — before they hit the expensive scoring stage).
+:func:`stream_near_dedup` bridges the two: a ``foreachBatch`` query that
+runs one ``incremental_dedup`` step per micro-batch, so long-horizon
+NEAR-dup dedup is available on streams too (state = the compactable
+on-disk signature store, shared with batch jobs).
 
 Semantics notes (mirrors the batch operators' contracts):
 
@@ -33,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stream_dedup"]
+__all__ = ["stream_dedup", "make_near_dedup_processor", "stream_near_dedup"]
 
 
 def stream_dedup(
@@ -64,3 +68,86 @@ def stream_dedup(
         out = out.withColumn("__dedup_key", F.xxhash64(F.col(text_col)))
         return out.dropDuplicatesWithinWatermark(["__dedup_key"]).drop("__dedup_key")
     return out.dropDuplicatesWithinWatermark(list(cols))
+
+
+def make_near_dedup_processor(
+    store_path: str,
+    output_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id_prefix: str = "stream",
+    **dedup_kwargs,
+):
+    """The ``foreachBatch`` callback bridging the stream to long-horizon
+    NEAR-dup dedup: each micro-batch runs one
+    :func:`~dataqualityassistant_spark.ops.dedup.incremental_dedup` step
+    (within-batch banded self-join + batch-vs-signature-store cross join),
+    so a streamed corpus converges to the SAME survivor set as the same
+    batches fed to ``incremental_dedup`` directly (tested).
+
+    Delivery semantics: ``foreachBatch`` is at-least-once — a crash between
+    the sink write and the checkpoint commit replays the micro-batch with
+    the SAME ``batch_id``. Both sinks are already idempotent under that
+    contract: ``incremental_dedup`` writes the signature store partitioned
+    by batch id with dynamic partition overwrite (a replay replaces its own
+    partition and excludes it from the corpus check), and the survivor
+    output here is partitioned by ``batch_id`` the same way.
+
+    ``batch_id_prefix`` namespaces the stream's numeric micro-batch ids in
+    the shared signature store (a batch job using plain numeric ids can
+    feed the same store without collisions). Exposed separately from
+    :func:`stream_near_dedup` so replay idempotency is directly testable."""
+    from dataqualityassistant_spark.ops.dedup import incremental_dedup
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # availableNow triggers can deliver an empty final batch; an
+            # empty incremental step would still write an empty store
+            # partition and cost jobs
+            return
+        survivors = incremental_dedup(
+            batch_df, store_path, batch_id=f"{batch_id_prefix}-{batch_id}",
+            text_col=text_col, id_col=id_col, **dedup_kwargs)
+        if output_path is not None:
+            # numeric micro-batch id written as LONG: unlike the signature
+            # store (caller-chosen string ids), this column is always the
+            # engine's monotonic counter, so inference on re-read is stable
+            (survivors.withColumn("batch_id", F.lit(batch_id).cast("long"))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(output_path))
+
+    return process_batch
+
+
+def stream_near_dedup(
+    df: DataFrame,
+    store_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = False,
+    **dedup_kwargs,
+):
+    """Start (and return) a streaming query that near-dedups ``df`` against
+    the persistent signature store, micro-batch by micro-batch.
+
+    Complements :func:`stream_dedup`: that operator removes short-horizon
+    EXACT burst duplicates with watermark-bounded in-memory state; this one
+    removes long-horizon NEAR duplicates with the signature store as the
+    state (bounded on disk, compactable, shared with batch jobs). Chain
+    them — ``stream_dedup`` upstream shrinks every micro-batch before the
+    banded joins run. ``available_now=True`` drains all available input
+    then stops (the cron-scheduled catch-up deployment mode)."""
+    writer = (
+        df.writeStream
+        .foreachBatch(make_near_dedup_processor(
+            store_path, output_path, text_col=text_col, id_col=id_col,
+            **dedup_kwargs))
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -85,6 +85,81 @@ def test_stream_dedup_on_key_columns(spark, tmp_path):
         q.stop()
 
 
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest to hide from everyone forever")
+NEAR = BASE.replace("lazy", "sleepy")
+OTHER = ("completely different prose about mountain railways crossing alpine "
+         "passes in heavy winter storms with snowploughs leading the way")
+FRESH = ("totally novel words about sailing ships on the open ocean at dawn "
+         "with gulls circling the masts and salt spray on the rigging")
+
+
+def test_stream_near_dedup_matches_batch_incremental(spark, tmp_path):
+    """VERDICT r4 #4: a corpus drained through the foreachBatch bridge in
+    2+ micro-batches yields the SAME survivors as the same batches run
+    through incremental_dedup directly."""
+    from dataqualityassistant_spark.ops.dedup import incremental_dedup
+    from dataqualityassistant_spark.streaming.dedup import stream_near_dedup
+
+    b1_rows = [(1, t(0), BASE), (2, t(0, 30), BASE), (3, t(1), OTHER)]
+    b2_rows = [(10, t(2), NEAR), (11, t(2, 30), FRESH)]
+
+    # --- streaming path: two micro-batches, drained sequentially
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, src, "b1", b1_rows)
+    stream = spark.readStream.schema(_SCHEMA).parquet(src + "/*")
+    q = stream_near_dedup(stream, store, out, ckpt,
+                          n_hashes=64, shingle=5, threshold=0.5)
+    try:
+        q.processAllAvailable()
+        _write(spark, src, "b2", b2_rows)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # --- batch path: the same two batches through incremental_dedup
+    ref_store = str(tmp_path / "ref_store")
+    want = set()
+    for bid, rows in (("b1", b1_rows), ("b2", b2_rows)):
+        df = spark.createDataFrame(rows, _SCHEMA)
+        want |= {r["doc_id"] for r in
+                 incremental_dedup(df, ref_store, batch_id=bid, n_hashes=64,
+                                   shingle=5, threshold=0.5).collect()}
+    assert got == want == {1, 3, 11}  # dup-of-BASE and NEAR-of-BASE dropped
+    # the shared store grew one namespaced partition per micro-batch
+    import glob
+    parts = sorted(p.split("=")[-1] for p in glob.glob(store + "/batch_id=*"))
+    assert parts == ["stream-0", "stream-1"]
+
+
+def test_near_dedup_processor_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a micro-batch with the
+    same batch_id (crash before checkpoint commit) must leave exactly one
+    copy of the survivors and an unchanged store."""
+    from dataqualityassistant_spark.streaming.dedup import make_near_dedup_processor
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    proc = make_near_dedup_processor(store, out, n_hashes=64, shingle=5,
+                                     threshold=0.5)
+    df = spark.createDataFrame([(1, t(0), BASE), (2, t(1), OTHER)], _SCHEMA)
+    proc(df, 7)
+    first = sorted((r["doc_id"], r["batch_id"])
+                   for r in spark.read.parquet(out).collect())
+    proc(df, 7)  # replay
+    again = sorted((r["doc_id"], r["batch_id"])
+                   for r in spark.read.parquet(out).collect())
+    assert first == again == [(1, 7), (2, 7)]
+    store_ids = sorted((r["doc_id"], r["batch_id"]) for r in
+                       spark.read.parquet(store).select("doc_id", "batch_id").collect())
+    assert store_ids == [(1, "stream-7"), (2, "stream-7")]
+
+
 def test_stream_dedup_arg_validation(spark):
     df = spark.createDataFrame([], "doc_id long, ts timestamp, text string")
     with pytest.raises(ValueError, match="exactly one"):

@@ -962,6 +962,14 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
     ``materialize=True`` to compute the (small) pairs eagerly and release
     the cache before returning.
 
+    CACHE-LIFETIME WARNING: a lazy-default call that IGNORES the
+    ``persisted_hashes`` handle leaks one MEMORY_AND_DISK cache entry per
+    call until session end (measured ≡ ``materialize=True`` in wall time,
+    so there is no performance reason to take the lazy path for one-shot
+    calls). Repeated one-shot invocations — entry queries, bench loops,
+    per-batch jobs — should pass ``materialize=True``; compose lazily only
+    when you keep the handle and unpersist it yourself.
+
     ``max_bucket_size`` drops (chunk_idx, chunk_value) buckets above the cap
     before the self-join — at web scale a hot chunk value (e.g. all-zero
     chunks from short boilerplate docs, or just 10^12 rows / 65k chunk

@@ -456,7 +456,10 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
         F.col("text").isNotNull())
     shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    pairs = ngram_jaccard_pairs(docs.unionByName(shifted), n=3, threshold=0.999)
+    # materialize=True: shingle cache released per call (no per-invocation
+    # leak — same rationale as q_minhash_dup_pairs)
+    pairs = ngram_jaccard_pairs(docs.unionByName(shifted), n=3, threshold=0.999,
+                                materialize=True)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -58,10 +58,18 @@ HEADLINE = [
 # Round-over-round comparability: the headline set has grown 12 → 16 → 17
 # queries across rounds, so the JSON carries fixed-subset subtotals next to
 # the full total — a future round that extends HEADLINE stays directly
-# comparable to the r3/r4 records without hand-arithmetic.
+# comparable to the r3/r4 records without hand-arithmetic. The sets are
+# NAMED lists (not positional slices of HEADLINE) and summed with strict
+# lookups: renaming or dropping a member must fail the bench loudly, never
+# print a silently-smaller "comparable" subtotal.
+_R3_SET = ["suite_documents", "tpch_q1", "dedup_exact", "word_stats",
+           "token_counts", "topk_cosine", "topk_events_per_user",
+           "minhash_dup_pairs", "langid_docs", "perplexity_docs",
+           "vocab_topk", "scrub_pii", "asof_clicks", "url_dedup",
+           "stratified_sample", "ivf_topk"]
 SUBTOTAL_SETS = {
-    "subtotal_16q": HEADLINE[:16],  # the r3 headline set
-    "subtotal_17q": HEADLINE[:17],  # the r4 headline set
+    "subtotal_16q": _R3_SET,                          # the r3 headline set
+    "subtotal_17q": _R3_SET + ["simhash_dup_pairs"],  # the r4 headline set
 }
 
 
@@ -325,8 +333,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         # fixed prior-round query subsets (see SUBTOTAL_SETS) for direct
-        # round-over-round comparison even when HEADLINE grows
-        **{k: round(sum(timings[n] for n in names if n in timings), 4)
+        # round-over-round comparison even when HEADLINE grows; strict
+        # lookup — a retired/renamed member raises instead of silently
+        # shrinking the subtotal
+        **{k: round(sum(timings[n] for n in names), 4)
            for k, names in SUBTOTAL_SETS.items()},
         # host-speed brackets around the per-query phase: times from a run
         # whose headline canaries sit below the full-cores mark (27) were

@@ -1029,7 +1029,9 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
-                        max_shingle_df: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
+                        max_shingle_df: int | None = DEFAULT_MAX_BUCKET_SIZE,
+                        persist_shingles: bool = True,
+                        materialize: bool = False) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for all pairs sharing at least
     one shingle. Pure DataFrame algebra (explode → shingle self-join →
     count ∩ → |A|+|B|−∩ union). Exact and therefore the most expensive
@@ -1043,7 +1045,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     sizes are recomputed over the RETAINED shingle universe so intersection
     and union stay consistent. Pass ``None`` to opt out explicitly (exact
     textbook Jaccard; safe only when the corpus is known boilerplate-free,
-    e.g. when running on LSH candidates that were already capped)."""
+    e.g. when running on LSH candidates that were already capped).
+
+    ``persist_shingles`` (default ON) caches the shingle relation so its
+    tokenize→explode(→cap→sizes-join) subtree runs once, not once per
+    consuming subtree. Same handle/``materialize`` contract as
+    :func:`minhash_candidate_pairs`: lazy results expose
+    ``result.persisted_shingles`` to unpersist; one-shot calls should pass
+    ``materialize=True`` (pairs checkpointed, cache released before
+    returning)."""
     # explicit ASCII class == RE2 \s (the DuckDB oracle engine); Java \s
     # additionally includes \x0B and would tokenize such text differently
     words = F.filter(F.split(F.col(text_col), "[ \t\n\f\r]+"), lambda w: w != F.lit(""))
@@ -1078,6 +1088,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         exploded = _drop_hot_buckets(exploded, ["g"], max_shingle_df)
         sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
         shingled = exploded.join(sizes, id_col)
+    cached = None
+    if persist_shingles:
+        # the shingle relation feeds the self-join twice (a/b sides) — and
+        # on the capped path its subtree is tokenize → explode → hot-cap
+        # anti-join → sizes join, which would otherwise recompute per
+        # consumer. Same handle/materialize contract as the minhash/simhash
+        # pair builders (result.persisted_shingles, or materialize=True for
+        # one-shot calls — no cache left behind).
+        from pyspark import StorageLevel
+
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = shingled
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g")
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "g")
     inter = (
@@ -1087,8 +1109,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
+    out = (
         inter.withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _finalize_pairs(out, cached, materialize, "persisted_shingles")

@@ -95,11 +95,26 @@ def make_near_dedup_processor(
 
     ``batch_id_prefix`` namespaces the stream's numeric micro-batch ids in
     the shared signature store (a batch job using plain numeric ids can
-    feed the same store without collisions). Exposed separately from
-    :func:`stream_near_dedup` so replay idempotency is directly testable."""
+    feed the same store without collisions). TWO streams sharing one store
+    must use DISTINCT prefixes: with the same prefix, both reaching
+    micro-batch N would overwrite each other's ``<prefix>-N`` partition AND
+    exclude each other's batch-N docs via the replay filter — silent
+    duplicate acceptance. :func:`stream_near_dedup` derives a
+    per-checkpoint prefix automatically; direct callers running multiple
+    streams against one store must pass distinct prefixes themselves.
+    Exposed separately so replay idempotency is directly testable."""
     from dataqualityassistant_spark.ops.dedup import incremental_dedup
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if "batch_id" in batch_df.columns:
+            # the survivor sink partitions on an engine-assigned batch_id
+            # column; silently replacing a caller's same-named column would
+            # both lose their data and repartition the output on the wrong
+            # values
+            raise ValueError(
+                "input stream already has a batch_id column; rename it "
+                "before stream_near_dedup (the survivor output reserves "
+                "batch_id for the micro-batch counter)")
         if batch_df.isEmpty():
             # availableNow triggers can deliver an empty final batch; an
             # empty incremental step would still write an empty store
@@ -129,6 +144,7 @@ def stream_near_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = False,
+    batch_id_prefix: str | None = None,
     **dedup_kwargs,
 ):
     """Start (and return) a streaming query that near-dedups ``df`` against
@@ -140,12 +156,22 @@ def stream_near_dedup(
     state (bounded on disk, compactable, shared with batch jobs). Chain
     them — ``stream_dedup`` upstream shrinks every micro-batch before the
     banded joins run. ``available_now=True`` drains all available input
-    then stops (the cron-scheduled catch-up deployment mode)."""
+    then stops (the cron-scheduled catch-up deployment mode).
+
+    The store prefix defaults to a hash of ``checkpoint_path``: restarts of
+    the SAME query (same checkpoint) keep the same prefix — required for
+    replay idempotency — while a second stream with its own checkpoint gets
+    a distinct prefix and cannot clobber this one's store partitions."""
+    if batch_id_prefix is None:
+        import hashlib
+
+        digest = hashlib.sha256(checkpoint_path.encode("utf-8")).hexdigest()[:10]
+        batch_id_prefix = f"stream-{digest}"
     writer = (
         df.writeStream
         .foreachBatch(make_near_dedup_processor(
             store_path, output_path, text_col=text_col, id_col=id_col,
-            **dedup_kwargs))
+            batch_id_prefix=batch_id_prefix, **dedup_kwargs))
         .option("checkpointLocation", checkpoint_path)
     )
     if available_now:

@@ -133,6 +133,15 @@ def test_e2e_degraded_false_when_healthy_run_carries_e2e():
     assert not best["e2e_degraded"] and not best["host_degraded"]
 
 
+def test_subtotal_sets_stay_subsets_of_headline():
+    # the comparability subtotals are summed with STRICT lookups at runtime;
+    # this catches a rename/retire at test time instead of mid-bench
+    from bench import HEADLINE, SUBTOTAL_SETS
+
+    for name, members in SUBTOTAL_SETS.items():
+        assert set(members) <= set(HEADLINE), (name, set(members) - set(HEADLINE))
+
+
 def test_ungated_cores_never_retry():
     host = Host([], {4: 2000, 16: 7700, 32: 6000})
     host.canary = lambda cores: 1.0 if cores == 32 else MARKS[cores] * 1.1

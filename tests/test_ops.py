@@ -60,11 +60,18 @@ def test_simhash_hamming(spark, docs):
 
 
 def test_ngram_jaccard_exact(spark, docs):
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3).toPandas()
+    lazy = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    pairs = lazy.toPandas()
     got = {tuple(sorted((a, b))): j for a, b, j in zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])}
     assert got.get((1, 2)) == 1.0
     assert 0.5 < got.get((1, 3), 0) < 1.0
     assert (1, 4) not in got
+    # lazy path exposes the shingle-cache handle; materialize releases it
+    assert lazy.persisted_shingles is not None
+    lazy.persisted_shingles.unpersist()
+    eager = ngram_jaccard_pairs(docs, n=3, threshold=0.3, materialize=True)
+    assert eager.persisted_shingles is None
+    assert len(eager.toPandas()) == len(pairs)
 
 
 def test_cosine_topk_brute_force(spark):
@@ -289,7 +296,8 @@ def test_minhash_materialize_leaves_no_cache(spark, docs):
 
 def test_ngram_jaccard_hot_shingle_filter(spark, docs):
     # with the boilerplate shingle dropped everywhere, real near-dups remain
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=10).toPandas()
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=10,
+                                materialize=True).toPandas()
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (1, 2) in got and ((1, 3) in got or (2, 3) in got)
 
@@ -304,7 +312,7 @@ def test_ngram_jaccard_default_cap_bounds_hot_shingles(spark):
     rows = [(i, "the same boilerplate template line") for i in range(n_hot)]
     rows += [(n_hot + 1, BASE), (n_hot + 2, BASE)]
     df = spark.createDataFrame(rows, "doc_id: long, text: string").repartition(8)
-    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.3).toPandas()
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.3, materialize=True).toPandas()
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (n_hot + 1, n_hot + 2) in got
     assert not any(a < n_hot and b < n_hot for a, b in got)

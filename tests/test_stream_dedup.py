@@ -131,10 +131,14 @@ def test_stream_near_dedup_matches_batch_incremental(spark, tmp_path):
                  incremental_dedup(df, ref_store, batch_id=bid, n_hashes=64,
                                    shingle=5, threshold=0.5).collect()}
     assert got == want == {1, 3, 11}  # dup-of-BASE and NEAR-of-BASE dropped
-    # the shared store grew one namespaced partition per micro-batch
+    # the shared store grew one namespaced partition per micro-batch; the
+    # prefix is derived from the checkpoint path so a second stream (own
+    # checkpoint) cannot clobber this one's partitions
     import glob
+    import hashlib
+    pref = "stream-" + hashlib.sha256(ckpt.encode("utf-8")).hexdigest()[:10]
     parts = sorted(p.split("=")[-1] for p in glob.glob(store + "/batch_id=*"))
-    assert parts == ["stream-0", "stream-1"]
+    assert parts == [f"{pref}-0", f"{pref}-1"]
 
 
 def test_near_dedup_processor_replay_is_idempotent(spark, tmp_path):

@@ -447,6 +447,17 @@ def _c_increasing(kwargs):
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     partition_by = kwargs.get("partition_by") or []
     partition_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    if not partition_cols:
+        import warnings
+
+        # an empty PARTITION BY makes lag()'s window a single partition —
+        # the whole table sorts on one executor. Valid on small tables;
+        # a scale foot-gun otherwise, so make it loud, not just documented.
+        warnings.warn(
+            "expect_column_values_to_be_increasing without 'partition_by' "
+            "sorts the ENTIRE table in one window partition (single-task "
+            "global sort); supply partition_by to scope the sequence at "
+            "scale", stacklevel=2)
     # explicit NULLS FIRST: Spark's ascending default is nulls-first but
     # SQL engines differ (DuckDB/Postgres default nulls-last), so pinning it
     # keeps lag() predecessors identical across engines when order keys

@@ -429,6 +429,28 @@ def test_increasing_with_order_and_partition(spark):
     assert r3["success"] is False and "order_by" in r3["error"]
 
 
+def test_increasing_without_partition_warns_global_sort(spark):
+    """No partition_by → the whole table sorts in ONE window partition; the
+    compiler must warn (scale foot-gun) but still evaluate correctly."""
+    import warnings
+
+    df = mk_df(spark, [(1, 1, 1.0), (1, 2, 3.0), (1, 3, 2.0)],
+               "u: int, t: int, v: double")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r = single(df, "expect_column_values_to_be_increasing",
+                   {"column": "v", "order_by": ["t"]})
+    assert r["result"]["unexpected_count"] == 1
+    assert any("single-task global sort" in str(x.message) for x in w), \
+        [str(x.message) for x in w]
+    # with partition_by the warning must NOT fire
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        single(df, "expect_column_values_to_be_increasing",
+               {"column": "v", "order_by": ["t"], "partition_by": ["u"]})
+    assert not any("global sort" in str(x.message) for x in w2)
+
+
 def test_increasing_null_order_keys_sort_nulls_first(spark):
     """Null order keys must sort NULLS FIRST on both engines (Spark's asc
     default, now explicit; the DuckDB oracle says NULLS FIRST too). With

@@ -123,3 +123,55 @@ def test_langid_accuracy_on_held_out_sentences():
     assert correct / total >= 0.85, per_lang
     # no language may collapse entirely (majority correct per language)
     assert all(v > 0.5 for v in per_lang.values()), per_lang
+
+
+def test_ngram_jaccard_pairs_match_pure_python_set_jaccard(spark):
+    """``ngram_jaccard_pairs`` (uncapped = textbook Jaccard) must agree
+    EXACTLY with a pure-Python ground truth built from nothing but
+    ``str.split``-style tokenization + tuple sets — no xxhash, no Spark, no
+    shared helpers. Catches a bug inside the shingle construction (slice
+    bounds, separator collisions, array_distinct semantics) that the
+    literal-oracle replay cannot see."""
+    import random
+    import re
+
+    from dataqualityassistant_spark.ops.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(77)
+    vocab = [f"tok{i}" for i in range(120)]
+    base = [rng.choice(vocab) for _ in range(40)]
+    docs = []
+    for i in range(30):
+        words = list(base)
+        for j in rng.sample(range(len(words)), int(len(words) * i / 29)):
+            words[j] = rng.choice(vocab)
+        # vary whitespace: the tokenizer must treat runs of [ \t\n\f\r]+ as
+        # one separator and ignore leading/trailing whitespace
+        sep = [" ", "  ", "\t", "\n", " \r "][i % 5]
+        docs.append((i, sep.join(words) + ("\n" if i % 3 == 0 else "")))
+    docs.append((30, "too short"))          # < n words: no shingles, no pairs
+    docs.append((31, "tok0 tok1 tok2"))     # exactly n words: one shingle
+
+    n = 3
+    def grams(text):
+        words = [w for w in re.split(r"[ \t\n\f\r]+", text) if w]
+        return {tuple(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            ga, gb = grams(docs[a][1]), grams(docs[b][1])
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.2:
+                want[(docs[a][0], docs[b][0])] = j
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string").repartition(4)
+    pairs = ngram_jaccard_pairs(df, n=n, threshold=0.2, max_shingle_df=None,
+                                materialize=True).toPandas()
+    got = {tuple(sorted((int(a), int(b)))): float(j)
+           for a, b, j in zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])}
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])

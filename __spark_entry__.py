@@ -457,9 +457,11 @@ def q_ngram_jaccard_dups(spark, sf_dir):
         F.col("text").isNotNull())
     shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     # materialize=True: shingle cache released per call (no per-invocation
-    # leak — same rationale as q_minhash_dup_pairs)
-    pairs = ngram_jaccard_pairs(docs.unionByName(shifted), n=3, threshold=0.999,
-                                materialize=True)
+    # leak — same rationale as q_minhash_dup_pairs). _spread: the shingle
+    # cache build is the expensive phase; from a 1-file input it would run
+    # at 2-split parallelism (same note as q_langid_docs)
+    pairs = ngram_jaccard_pairs(_spread(spark, docs.unionByName(shifted)),
+                                n=3, threshold=0.999, materialize=True)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

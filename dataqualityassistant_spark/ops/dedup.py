@@ -1068,6 +1068,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             )
         ),
     )
+    from pyspark import StorageLevel
+
+    cached = None
     if max_shingle_df is None:
         # fast path: per-doc shingle count comes free from the array size
         shingled = (
@@ -1075,6 +1078,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .where(F.col("grams").isNotNull())
             .select(id_col, F.size("grams").alias("n_grams"), F.explode("grams").alias("g"))
         )
+        if persist_shingles:
+            # the shingle relation feeds the self-join twice (a/b sides);
+            # uncached, the tokenize→explode subtree runs once per side.
+            # Same handle/``materialize`` contract as the minhash/simhash
+            # pair builders (result.persisted_shingles, or materialize=True
+            # for one-shot calls — no cache left behind).
+            shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+            cached = shingled
     else:
         # hot shingles (template boilerplate appearing in huge numbers of
         # docs) are both join-skew bombs and similarity noise; drop them and
@@ -1085,21 +1096,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .where(F.col("grams").isNotNull())
             .select(id_col, F.explode("grams").alias("g"))
         )
+        if persist_shingles:
+            # cache the RAW tokenize→explode relation, not the capped+sized
+            # result: the hot-count agg, the anti-join probe side, the sizes
+            # agg, and the pair join all consume it, so a cache placed
+            # downstream of the cap would still re-run the xxhash
+            # tokenization 3-4x INSIDE its own build (measured: the whole
+            # subtree ran at input-split parallelism, dominating the query).
+            # Here tokenization runs exactly once; everything downstream is
+            # cache scans + aggregations. Same handle/``materialize``
+            # contract as the minhash/simhash pair builders.
+            exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+            cached = exploded
         exploded = _drop_hot_buckets(exploded, ["g"], max_shingle_df)
         sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
         shingled = exploded.join(sizes, id_col)
-    cached = None
-    if persist_shingles:
-        # the shingle relation feeds the self-join twice (a/b sides) — and
-        # on the capped path its subtree is tokenize → explode → hot-cap
-        # anti-join → sizes join, which would otherwise recompute per
-        # consumer. Same handle/materialize contract as the minhash/simhash
-        # pair builders (result.persisted_shingles, or materialize=True for
-        # one-shot calls — no cache left behind).
-        from pyspark import StorageLevel
-
-        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-        cached = shingled
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g")
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "g")
     inter = (

@@ -141,6 +141,11 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     )
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col), emb_norm.alias("__norm"))
+    # rows with a NULL vector element would yield a null cosine under the
+    # old HOF fold (dropped by the threshold filter); drop them up front so
+    # the vectorized kernel below (where Arrow surfaces the null as NaN)
+    # agrees on the final pair set
+    base = base.where(~F.exists(F.col(vec_col), lambda x: x.isNull()))
     if exhaustive:
         keyed = base.withColumn("__b", F.lit(0))
     else:
@@ -151,16 +156,51 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                      F.col("__norm").alias("na"), "__b")
     b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                      F.col("__norm").alias("nb"), "__b")
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    cos = F.when((F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb")))
+    if exhaustive:
+        # the constant __b key constant-folds into a BroadcastNestedLoopJoin
+        # whose parallelism = PROBE-side partitions; from a few-file input
+        # the whole O(n²) pair loop would run in 1-2 tasks (measured 9.1 s
+        # → 1.1 s at 2k×2k on 32 cores). The O(n) round-robin shuffle is
+        # free next to the O(n²) probe it spreads.
+        a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    # Pair scoring is the O(candidate-pairs) hot loop, so it must NOT be a
+    # HOF-lambda fold: F.aggregate/zip_with expressions are interpreted per
+    # element (no codegen) — measured ~12 s for 2M pairs x 64 dims where
+    # this Arrow kernel takes well under a second. The kernel accumulates
+    # dims SEQUENTIALLY in float64 (acc += a[:,d]*b[:,d]), the exact
+    # association of the old left fold, so every cosine is bit-identical.
+    # Emitting []/[cosine] and exploding keeps the threshold INSIDE the
+    # single UDF evaluation — a .where() on the UDF column would duplicate
+    # the UDF into both Filter and Project (the documented pushdown trap).
+    # NaN cosines (NaN inputs) stay kept, matching Spark's NaN-is-largest
+    # ordering in the old `cosine >= threshold` filter.
+    thr = float(threshold)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def _cos_if_near(va: pd.Series, vb: pd.Series,
+                     na: pd.Series, nb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype=object)
+        ma = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        mb = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros(len(va), dtype=np.float64)
+        for d in range(ma.shape[1]):
+            acc = acc + ma[:, d] * mb[:, d]
+        nan_ = na.to_numpy(dtype=np.float64)
+        nbn = nb.to_numpy(dtype=np.float64)
+        denom_ok = (nan_ > 0) & (nbn > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / (nan_ * nbn)
+        keep = denom_ok & ((cos >= thr) | np.isnan(cos))
+        return pd.Series([[c] if k else [] for c, k in zip(cos, keep)],
+                         dtype=object)
+
     return (
         a.join(b, "__b")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos.cast("double"))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b",
+                F.explode(_cos_if_near("va", "vb", "na", "nb")).alias("cosine"))
     )
 
 

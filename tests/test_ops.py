@@ -159,6 +159,59 @@ def test_embedding_near_dup_pairs(spark):
     assert got_lsh <= got  # no false positives vs exhaustive
 
 
+def test_cosine_topk_drops_degenerate_vectors(spark):
+    """Zero-norm and NaN-bearing vectors must never outrank real matches.
+
+    Pins the deliberate divergence from the old HOF-fold path: under
+    Spark's NaN-is-largest descending order a NaN cosine used to sort
+    ABOVE every real match; the Arrow kernel drops those rows instead."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),           # zero norm -> dropped
+        (2, [float("nan"), 1.0, 0.0, 0.0]),  # NaN norm -> dropped
+        (3, [2.0, 0.0, 0.0, 0.0]),           # same direction, cosine 1.0
+        (4, None),                           # null vector -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    top = cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=5).toPandas()
+    assert set(top["vec_id"]) == {0, 3}
+    assert np.isfinite(top["cosine"]).all()
+
+
+def test_cosine_topk_bitwise_matches_jvm_fold(spark):
+    """The Arrow kernel accumulates dims sequentially in float64 — the same
+    association as the old ``cosine_expr`` left fold — so every cosine must
+    be BIT-identical (exact ==, not approx) to the JVM expression."""
+    from dataqualityassistant_spark.ops.similarity import cosine_expr
+    rng = np.random.RandomState(13)
+    vecs = rng.standard_normal((40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    q = vecs[3].tolist()
+    new = cosine_topk(df, q, k=40).toPandas().set_index("vec_id")["cosine"]
+    old = (df.select("vec_id", cosine_expr(F.col("embedding"), q).alias("cosine"))
+             .toPandas().set_index("vec_id")["cosine"])
+    assert len(new) == 40
+    for i in new.index:
+        assert new[i] == old[i]
+
+
+def test_embedding_pairs_degenerate_vectors_dropped(spark):
+    """Null-element and zero-norm vectors produce no pairs (the up-front
+    exists-null filter and the denom_ok guard in the vectorized kernel)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),          # same direction as 0 -> the one real pair
+        (2, [1.0, None]),         # null element -> dropped up front
+        (3, [0.0, 0.0]),          # zero norm -> denom_ok false
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = embedding_near_dup_pairs(df, threshold=0.9, exhaustive=True).toPandas()
+    pairs = {tuple(sorted((a, b))) for a, b in zip(got["id_a"], got["id_b"])}
+    assert pairs == {(0, 1)}
+    assert got["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-12)
+
+
 def test_ann_bucketed_store_prunes_partitions(spark, tmp_path):
     from dataqualityassistant_spark.ops.similarity import (
         write_bucketed_embeddings, ann_topk_bucketed, query_bucket)

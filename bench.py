@@ -148,6 +148,35 @@ def pick_best(invocations, cores):
     return best
 
 
+def stop_spark_hard(stop_fn, jvm_proc, timeout=60.0):
+    """Stop Spark with a watchdog: ``spark.stop()``'s py4j reply can be lost
+    (observed twice this round: jstack showed the context fully torn down and
+    both gateway threads idle in waitForCommands while Python's main thread
+    polled the reply socket forever — a 29-minute silent hang of the whole
+    bench). Run ``stop_fn`` in a daemon thread; if it hasn't returned after
+    ``timeout`` seconds, kill the gateway JVM directly — the context is
+    already (or will be) down, the scaling legs all run in fresh subprocess
+    JVMs, and a dead JVM is strictly better than a wedged bench.
+
+    Returns True when stop() returned normally, False when the watchdog had
+    to kill the JVM."""
+    import threading
+
+    t = threading.Thread(target=stop_fn, daemon=True)
+    t.start()
+    t.join(timeout)
+    if not t.is_alive():
+        return True
+    print(f"bench: spark.stop() reply lost after {timeout}s; killing gateway JVM",
+          file=sys.stderr)
+    if jvm_proc is not None:
+        try:
+            jvm_proc.kill()
+        except OSError:
+            pass
+    return False
+
+
 def _sf_label(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -259,7 +288,8 @@ def main() -> None:
     # window or Amdahl noise dominates the scaling-efficiency estimate
     n_pages = 200000 if sf >= 0.1 else 5000
     pages_path = ensure_pages(spark, n_pages)
-    spark.stop()
+    stop_spark_hard(spark.stop,
+                    getattr(spark.sparkContext._gateway, "proc", None))
 
     def leg(cores: int, skip_e2e: bool, repeats: int) -> dict:
         cmd = [sys.executable, "-m", "dataqualityassistant_spark.benchrun",

@@ -149,3 +149,39 @@ def test_ungated_cores_never_retry():
     assert retried == 0
     assert len(inv[32]) == 2                  # planned invocations only
     assert all(r["degraded"] for r in inv[32])
+
+
+def test_stop_spark_hard_returns_on_normal_stop():
+    from bench import stop_spark_hard
+
+    class Proc:
+        killed = False
+
+        def kill(self):
+            self.killed = True
+
+    p = Proc()
+    assert stop_spark_hard(lambda: None, p, timeout=5.0) is True
+    assert not p.killed
+
+
+def test_stop_spark_hard_kills_jvm_on_lost_reply():
+    # spark.stop()'s py4j reply can be lost (observed: context torn down,
+    # gateway idle, Python polling the reply socket for 29 min) — the
+    # watchdog must unblock the bench and kill the gateway JVM
+    import threading
+
+    from bench import stop_spark_hard
+
+    hang = threading.Event()
+
+    class Proc:
+        killed = False
+
+        def kill(self):
+            self.killed = True
+            hang.set()  # let the wedged daemon thread exit
+
+    p = Proc()
+    assert stop_spark_hard(hang.wait, p, timeout=0.2) is False
+    assert p.killed

@@ -22,8 +22,14 @@ def spark():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    gateway_proc = getattr(spark.sparkContext._gateway, "proc", None)
     yield spark
-    spark.stop()
+    # spark.stop()'s py4j reply can be lost (observed in bench runs: context
+    # torn down, gateway idle, Python polling the reply socket forever) —
+    # never let session teardown wedge the whole suite
+    from bench import stop_spark_hard
+
+    stop_spark_hard(spark.stop, gateway_proc, timeout=60)
 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -148,33 +148,9 @@ def pick_best(invocations, cores):
     return best
 
 
-def stop_spark_hard(stop_fn, jvm_proc, timeout=60.0):
-    """Stop Spark with a watchdog: ``spark.stop()``'s py4j reply can be lost
-    (observed twice this round: jstack showed the context fully torn down and
-    both gateway threads idle in waitForCommands while Python's main thread
-    polled the reply socket forever — a 29-minute silent hang of the whole
-    bench). Run ``stop_fn`` in a daemon thread; if it hasn't returned after
-    ``timeout`` seconds, kill the gateway JVM directly — the context is
-    already (or will be) down, the scaling legs all run in fresh subprocess
-    JVMs, and a dead JVM is strictly better than a wedged bench.
-
-    Returns True when stop() returned normally, False when the watchdog had
-    to kill the JVM."""
-    import threading
-
-    t = threading.Thread(target=stop_fn, daemon=True)
-    t.start()
-    t.join(timeout)
-    if not t.is_alive():
-        return True
-    print(f"bench: spark.stop() reply lost after {timeout}s; killing gateway JVM",
-          file=sys.stderr)
-    if jvm_proc is not None:
-        try:
-            jvm_proc.kill()
-        except OSError:
-            pass
-    return False
+# the lost-py4j-reply stop hang hit this bench twice; shared watchdog —
+# re-exported here because the gating tests and conftest import it from bench
+from dataqualityassistant_spark.session import stop_spark_hard  # noqa: E402
 
 
 def _sf_label(path: str) -> float:

@@ -100,7 +100,12 @@ def main() -> None:
         "e2e_sec": t_e2e,
         "e2e_docs_per_sec": (n / t_e2e) if t_e2e else None,
     }))
-    spark.stop()
+    # a lost stop() reply here would burn the parent's whole 1800s
+    # subprocess timeout and then crash the bench via TimeoutExpired —
+    # the result line is already printed, so a hard stop loses nothing
+    from dataqualityassistant_spark.session import stop_session_hard
+
+    stop_session_hard(spark)
 
 
 if __name__ == "__main__":

@@ -273,7 +273,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows_in": n_in, "rows_out": n_out,
                           "contaminated": n_in - n_out, "ngram": args.ngram}))
 
-    spark.stop()
+    # watchdogged stop: a lost py4j stop() reply must not wedge the CLI
+    # after its output is already printed
+    from dataqualityassistant_spark.session import stop_session_hard
+
+    stop_session_hard(spark)
     return 0
 
 

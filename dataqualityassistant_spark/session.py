@@ -16,7 +16,48 @@ the CLI, tests and bench all agree:
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import SparkSession
+
+
+def stop_spark_hard(stop_fn, jvm_proc, timeout=60.0):
+    """Stop Spark with a watchdog: ``spark.stop()``'s py4j reply can be lost
+    (observed twice in round-5 bench runs: jstack showed the context fully
+    torn down and both gateway threads idle in waitForCommands while
+    Python's main thread polled the reply socket forever — a 29-minute
+    silent hang). Run ``stop_fn`` in a daemon thread; if it hasn't returned
+    after ``timeout`` seconds, kill the gateway JVM directly — the context
+    is already (or will be) down and a dead JVM is strictly better than a
+    wedged process. Call as::
+
+        stop_spark_hard(spark.stop,
+                        getattr(spark.sparkContext._gateway, "proc", None))
+
+    (grab ``_gateway.proc`` BEFORE calling — a torn-down context may not
+    expose it after). Returns True when stop() returned normally, False
+    when the watchdog had to kill the JVM."""
+    import threading
+
+    t = threading.Thread(target=stop_fn, daemon=True)
+    t.start()
+    t.join(timeout)
+    if not t.is_alive():
+        return True
+    print(f"spark.stop() reply lost after {timeout}s; killing gateway JVM",
+          file=sys.stderr)
+    if jvm_proc is not None:
+        try:
+            jvm_proc.kill()
+        except OSError:
+            pass
+    return False
+
+
+def stop_session_hard(spark, timeout=60.0):
+    """:func:`stop_spark_hard` convenience wrapper for a live session."""
+    proc = getattr(spark.sparkContext._gateway, "proc", None)
+    return stop_spark_hard(spark.stop, proc, timeout)
 
 
 def tuned_session(

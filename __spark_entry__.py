@@ -460,8 +460,13 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     # leak — same rationale as q_minhash_dup_pairs). _spread: the shingle
     # cache build is the expensive phase; from a 1-file input it would run
     # at 2-split parallelism (same note as q_langid_docs)
+    # max_shingle_df=None: the DuckDB oracle computes UNCAPPED textbook
+    # Jaccard, so the engine side must opt out of the default hot-shingle
+    # cap — at sf0.01 the cap never bites (max shingle DF ~14) but at larger
+    # SF it would change denominators and silently diverge from the oracle
     pairs = ngram_jaccard_pairs(_spread(spark, docs.unionByName(shifted)),
-                                n=3, threshold=0.999, materialize=True)
+                                n=3, threshold=0.999, materialize=True,
+                                max_shingle_df=None)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

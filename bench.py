@@ -148,8 +148,8 @@ def pick_best(invocations, cores):
     return best
 
 
-# the lost-py4j-reply stop hang hit this bench twice; shared watchdog —
-# re-exported here because the gating tests and conftest import it from bench
+# the lost-py4j-reply stop hang hit this bench twice; watchdog lives with
+# the session utilities so benchrun legs and the CLI share it
 from dataqualityassistant_spark.session import stop_spark_hard  # noqa: E402
 
 

@@ -58,23 +58,37 @@ def cosine_topk(df: DataFrame, query, k: int = 10, vec_col: str = "embedding",
     qn = float(np.sqrt(sum(v * v for v in qd)))
     qv = np.asarray(qd, dtype=np.float64)
 
+    dim = len(qd)
+
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def _cos(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
+        n = len(vecs)
+        if n == 0:
             return pd.Series([], dtype=object)
-        m = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
-        acc = np.zeros(len(vecs), dtype=np.float64)
-        nacc = np.zeros(len(vecs), dtype=np.float64)
-        for d in range(m.shape[1]):
-            col = m[:, d]
-            acc = acc + col * qv[d]
-            nacc = nacc + col * col
-        norm = np.sqrt(nacc)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = acc / (norm * qn)
-        keep = norm > 0
-        return pd.Series([[c] if kp else [] for c, kp in zip(cos, keep)],
-                         dtype=object)
+        arrs = vecs.to_numpy()
+        # rows whose vector length differs from the query's can't be scored
+        # (np.stack would raise on the ragged batch; the old HOF fold gave
+        # them a null cosine) — drop them like the other degenerate shapes
+        lens = np.fromiter((len(a) if a is not None else -1 for a in arrs),
+                           dtype=np.int64, count=n)
+        out = [[]] * n
+        idx = np.flatnonzero(lens == dim)
+        if len(idx):
+            m = np.stack(arrs[idx]).astype(np.float64, copy=False)
+            acc = np.zeros(len(idx), dtype=np.float64)
+            nacc = np.zeros(len(idx), dtype=np.float64)
+            for d in range(dim):
+                col = m[:, d]
+                acc = acc + col * qv[d]
+                nacc = nacc + col * col
+            norm = np.sqrt(nacc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (norm * qn)
+            keep = norm > 0
+            for j, c, kp in zip(idx, cos, keep):
+                if kp:
+                    out[j] = [c]
+        return pd.Series(out, dtype=object)
 
     return (
         df.where(F.col(vec_col).isNotNull())
@@ -206,28 +220,46 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     # Emitting []/[cosine] and exploding keeps the threshold INSIDE the
     # single UDF evaluation — a .where() on the UDF column would duplicate
     # the UDF into both Filter and Project (the documented pushdown trap).
-    # NaN cosines (NaN inputs) stay kept, matching Spark's NaN-is-largest
-    # ordering in the old `cosine >= threshold` filter.
+    # Deliberate divergences from the old fold, pinned in tests: NaN-element
+    # vectors are DROPPED (their norm is NaN, so denom_ok fails — the old
+    # Spark filter kept them because NaN>0 is true under NaN-is-largest
+    # ordering, emitting garbage NaN pairs), and mismatched-length pairs are
+    # dropped rather than crashing np.stack on a ragged batch.
     thr = float(threshold)
 
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def _cos_if_near(va: pd.Series, vb: pd.Series,
                      na: pd.Series, nb: pd.Series) -> pd.Series:
-        if len(va) == 0:
+        n = len(va)
+        if n == 0:
             return pd.Series([], dtype=object)
-        ma = np.stack(va.to_numpy()).astype(np.float64, copy=False)
-        mb = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
-        acc = np.zeros(len(va), dtype=np.float64)
-        for d in range(ma.shape[1]):
-            acc = acc + ma[:, d] * mb[:, d]
+        aa, ba = va.to_numpy(), vb.to_numpy()
+        lens_a = np.fromiter((len(v) if v is not None else -1 for v in aa),
+                             dtype=np.int64, count=n)
+        lens_b = np.fromiter((len(v) if v is not None else -1 for v in ba),
+                             dtype=np.int64, count=n)
+        valid = (lens_a == lens_b) & (lens_a > 0)
         nan_ = na.to_numpy(dtype=np.float64)
         nbn = nb.to_numpy(dtype=np.float64)
-        denom_ok = (nan_ > 0) & (nbn > 0)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = acc / (nan_ * nbn)
-        keep = denom_ok & ((cos >= thr) | np.isnan(cos))
-        return pd.Series([[c] if k else [] for c, k in zip(cos, keep)],
-                         dtype=object)
+        out = [[]] * n
+        # per-length groups: embeddings normally share one dim, so this loop
+        # runs once; a mixed-dim table still scores every consistent pair
+        for L in np.unique(lens_a[valid]) if valid.any() else ():
+            idx = np.flatnonzero(valid & (lens_a == L))
+            ma = np.stack(aa[idx]).astype(np.float64, copy=False)
+            mb = np.stack(ba[idx]).astype(np.float64, copy=False)
+            acc = np.zeros(len(idx), dtype=np.float64)
+            for d in range(L):
+                acc = acc + ma[:, d] * mb[:, d]
+            ga, gb = nan_[idx], nbn[idx]
+            denom_ok = (ga > 0) & (gb > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (ga * gb)
+            keep = denom_ok & (cos >= thr)
+            for j, c, k in zip(idx, cos, keep):
+                if k:
+                    out[j] = [c]
+        return pd.Series(out, dtype=object)
 
     return (
         a.join(b, "__b")

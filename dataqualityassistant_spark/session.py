@@ -36,16 +36,27 @@ def stop_spark_hard(stop_fn, jvm_proc, timeout=60.0):
 
     (grab ``_gateway.proc`` BEFORE calling — a torn-down context may not
     expose it after). Returns True when stop() returned normally, False
-    when the watchdog had to kill the JVM."""
+    when the watchdog had to kill the JVM (or stop() raised — a stop that
+    errored, e.g. Py4JNetworkError from an already-dead gateway, is treated
+    as failed so the JVM is never silently leaked)."""
     import threading
 
-    t = threading.Thread(target=stop_fn, daemon=True)
+    failed: list[BaseException] = []
+
+    def _run():
+        try:
+            stop_fn()
+        except BaseException as e:  # noqa: BLE001 — report, don't propagate
+            failed.append(e)
+
+    t = threading.Thread(target=_run, daemon=True)
     t.start()
     t.join(timeout)
-    if not t.is_alive():
+    if not t.is_alive() and not failed:
         return True
-    print(f"spark.stop() reply lost after {timeout}s; killing gateway JVM",
-          file=sys.stderr)
+    reason = (f"raised {failed[0]!r}" if failed
+              else f"reply lost after {timeout}s")
+    print(f"spark.stop() {reason}; killing gateway JVM", file=sys.stderr)
     if jvm_proc is not None:
         try:
             jvm_proc.kill()

@@ -161,11 +161,21 @@ def stream_near_dedup(
     The store prefix defaults to a hash of ``checkpoint_path``: restarts of
     the SAME query (same checkpoint) keep the same prefix — required for
     replay idempotency — while a second stream with its own checkpoint gets
-    a distinct prefix and cannot clobber this one's store partitions."""
+    a distinct prefix and cannot clobber this one's store partitions.
+    The path is NORMALIZED before hashing (local paths resolved absolute,
+    trailing slashes stripped): Spark resolves equivalent spellings of one
+    checkpointLocation to the same offsets, so a restart that respells the
+    path (``ckpt`` vs ``/abs/ckpt/``) must also land on the same prefix —
+    a different prefix would defeat the replay filter and silently drop the
+    replayed batch's survivors as corpus duplicates."""
     if batch_id_prefix is None:
         import hashlib
+        import os
 
-        digest = hashlib.sha256(checkpoint_path.encode("utf-8")).hexdigest()[:10]
+        norm = checkpoint_path.rstrip("/")
+        if "://" not in norm:  # URI schemes (file:, hdfs:, s3a:) left as-is
+            norm = os.path.abspath(os.path.normpath(norm))
+        digest = hashlib.sha256(norm.encode("utf-8")).hexdigest()[:10]
         batch_id_prefix = f"stream-{digest}"
     writer = (
         df.writeStream

@@ -27,7 +27,7 @@ def spark():
     # spark.stop()'s py4j reply can be lost (observed in bench runs: context
     # torn down, gateway idle, Python polling the reply socket forever) —
     # never let session teardown wedge the whole suite
-    from bench import stop_spark_hard
+    from dataqualityassistant_spark.session import stop_spark_hard
 
     stop_spark_hard(spark.stop, gateway_proc, timeout=60)
 

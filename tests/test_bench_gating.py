@@ -152,7 +152,7 @@ def test_ungated_cores_never_retry():
 
 
 def test_stop_spark_hard_returns_on_normal_stop():
-    from bench import stop_spark_hard
+    from dataqualityassistant_spark.session import stop_spark_hard
 
     class Proc:
         killed = False
@@ -171,7 +171,7 @@ def test_stop_spark_hard_kills_jvm_on_lost_reply():
     # watchdog must unblock the bench and kill the gateway JVM
     import threading
 
-    from bench import stop_spark_hard
+    from dataqualityassistant_spark.session import stop_spark_hard
 
     hang = threading.Event()
 
@@ -184,4 +184,23 @@ def test_stop_spark_hard_kills_jvm_on_lost_reply():
 
     p = Proc()
     assert stop_spark_hard(hang.wait, p, timeout=0.2) is False
+    assert p.killed
+
+
+def test_stop_spark_hard_treats_raising_stop_as_failed():
+    # a stop() that raises (gateway already dead) must not report success
+    # and must still kill the JVM instead of leaking it
+    from dataqualityassistant_spark.session import stop_spark_hard
+
+    class Proc:
+        killed = False
+
+        def kill(self):
+            self.killed = True
+
+    def boom():
+        raise RuntimeError("gateway gone")
+
+    p = Proc()
+    assert stop_spark_hard(boom, p, timeout=5.0) is False
     assert p.killed

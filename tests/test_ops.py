@@ -171,9 +171,11 @@ def test_cosine_topk_drops_degenerate_vectors(spark):
         (2, [float("nan"), 1.0, 0.0, 0.0]),  # NaN norm -> dropped
         (3, [2.0, 0.0, 0.0, 0.0]),           # same direction, cosine 1.0
         (4, None),                           # null vector -> dropped
+        (5, []),                             # empty -> dropped (would crash np.stack)
+        (6, [1.0, 0.0]),                     # wrong dim -> dropped (ragged batch)
     ]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
-    top = cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=5).toPandas()
+    top = cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=7).toPandas()
     assert set(top["vec_id"]) == {0, 3}
     assert np.isfinite(top["cosine"]).all()
 
@@ -197,19 +199,25 @@ def test_cosine_topk_bitwise_matches_jvm_fold(spark):
 
 
 def test_embedding_pairs_degenerate_vectors_dropped(spark):
-    """Null-element and zero-norm vectors produce no pairs (the up-front
-    exists-null filter and the denom_ok guard in the vectorized kernel)."""
+    """Null-element, NaN-element, zero-norm, empty, and mismatched-dim
+    vectors produce no pairs (up-front exists-null filter + the denom_ok and
+    length guards in the vectorized kernel); mixed-dim tables still score
+    every consistent-dim pair instead of crashing np.stack."""
     rows = [
         (0, [1.0, 0.0]),
-        (1, [2.0, 0.0]),          # same direction as 0 -> the one real pair
-        (2, [1.0, None]),         # null element -> dropped up front
-        (3, [0.0, 0.0]),          # zero norm -> denom_ok false
+        (1, [2.0, 0.0]),            # same direction as 0 -> a real pair
+        (2, [1.0, None]),           # null element -> dropped up front
+        (3, [0.0, 0.0]),            # zero norm -> denom_ok false
+        (4, [float("nan"), 1.0]),   # NaN element -> NaN norm -> dropped
+        (5, []),                    # empty -> dropped
+        (6, [3.0, 0.0, 0.0]),       # dim-3 group...
+        (7, [5.0, 0.0, 0.0]),       # ...pairs within itself only
     ]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
     got = embedding_near_dup_pairs(df, threshold=0.9, exhaustive=True).toPandas()
     pairs = {tuple(sorted((a, b))) for a, b in zip(got["id_a"], got["id_b"])}
-    assert pairs == {(0, 1)}
-    assert got["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-12)
+    assert pairs == {(0, 1), (6, 7)}
+    assert np.isfinite(got["cosine"]).all()
 
 
 def test_ann_bucketed_store_prunes_partitions(spark, tmp_path):

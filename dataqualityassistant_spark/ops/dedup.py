@@ -477,14 +477,50 @@ def _read_signature_store(spark, store_path: str) -> DataFrame:
     thread of the same session."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    # recursiveFileLookup skips partition discovery entirely, so this probe
-    # yields the DATA columns only (one footer read; raises the same
-    # PATH_NOT_FOUND AnalysisException on a missing store as before)
-    data_schema = (spark.read.option("recursiveFileLookup", "true")
-                   .parquet(store_path).schema)
+    # Schema probe: read ONE data file's footer instead of a recursive probe
+    # over the whole store — the recursive probe built a full file index
+    # (every partition dir listed) just to learn the schema, which doubled
+    # the store's listing cost per incremental batch; at the 10^5-partition
+    # scale compaction exists for, listing IS the metadata bottleneck. The
+    # single-file read's base path is the file's parent, so no partition
+    # columns leak into the data schema (same effect as recursiveFileLookup).
+    probe_file = _first_store_data_file(spark, store_path)
+    if probe_file is not None:
+        data_schema = spark.read.parquet(probe_file).schema
+    else:
+        # missing/empty store: preserve the original error surface
+        # (PATH_NOT_FOUND AnalysisException on a missing store)
+        data_schema = (spark.read.option("recursiveFileLookup", "true")
+                       .parquet(store_path).schema)
     full = StructType(list(data_schema.fields) +
                       [StructField("batch_id", StringType())])
     return spark.read.schema(full).parquet(store_path)
+
+
+def _first_store_data_file(spark, store_path: str) -> str | None:
+    """First data file under the store (recursive), via the Hadoop FS
+    RemoteIterator — stops at the first hit (one listing batch, not a full
+    recursive index), works on any Hadoop-supported filesystem. Skips
+    metadata files and hidden dirs (any path segment starting with ``_`` or
+    ``.``, e.g. ``_SUCCESS``). Returns None when the store is missing or
+    holds no data files (callers fall back to the erroring probe read)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    try:
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        root = fs.makeQualified(jpath).toString().rstrip("/")
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            rel = p[len(root):].lstrip("/") if p.startswith(root) else p
+            if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+                continue
+            return p
+    except Exception:  # noqa: BLE001 — any FS surprise -> erroring fallback
+        return None
+    return None
 
 
 def minhash_pairs_against(new_signatures: DataFrame, corpus_signatures: DataFrame,

@@ -211,6 +211,17 @@ class QualityFilterPipeline:
                     out.append((rule.name, ce.expectation_type, ce.kwargs, ce.mostly, ce.unexpected_mask))
         return out
 
+    @staticmethod
+    def metric_aggs(metric_masks) -> list:
+        """Observation aggregates for the expectation masks (element count +
+        one conditional count aliased ``u{k}`` per mask) — shared by the
+        batch waves and the streaming foreachBatch sink so the two metrics
+        tables decode identically and cannot drift."""
+        return [F.count(F.lit(1)).alias("element_count")] + [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"u{k}")
+            for k, (_, _, _, _, m) in enumerate(metric_masks)
+        ]
+
     # ------------------------------------------------------------- execution
 
     def run(self, spark: SparkSession, pages: DataFrame, output_path: str,
@@ -251,7 +262,11 @@ class QualityFilterPipeline:
         ``max_buckets`` processes only a prefix of pending buckets (used by
         the kill-and-resume test to simulate a mid-run crash).
         """
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # dynamic partition overwrite is set PER WRITER below, never on the
+        # session: a session-wide conf.set would silently change overwrite
+        # semantics (stale partitions kept) for every later partitioned
+        # write in the same session (the maxPartitionBytes save/restore in
+        # run() exists for the same reason)
         store = CheckpointStore(checkpoint_path) if checkpoint_path else None
         done = store.completed_buckets(run_id) if store else set()
         pending = [b for b in range(self.n_buckets) if b not in done]
@@ -273,10 +288,7 @@ class QualityFilterPipeline:
             scored = self.score(pages).filter(F.col("part_bucket").isin(buckets))
 
             obs = Observation(f"metrics-{run_id}-{wave_idx}")
-            aggs = [F.count(F.lit(1)).alias("element_count")]
-            for k, (_, _, _, _, mask) in enumerate(metric_masks):
-                aggs.append(F.sum(F.when(mask, 1).otherwise(0)).alias(f"u{k}"))
-            observed = scored.observe(obs, *aggs)
+            observed = scored.observe(obs, *self.metric_aggs(metric_masks))
             drop = [c for c in self.output_drop_columns if c in observed.columns]
             if drop:
                 observed = observed.drop(*drop)
@@ -284,6 +296,7 @@ class QualityFilterPipeline:
                 observed = observed.repartition(len(buckets), F.col("part_bucket"))
 
             (observed.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
              .partitionBy("part_bucket")
              .parquet(output_path))
 
@@ -308,7 +321,9 @@ class QualityFilterPipeline:
                 # wave replaces its metrics instead of appending duplicates,
                 # and metrics for completed waves survive a mid-run crash
                 (spark.createDataFrame(wave_metrics)
-                 .write.mode("overwrite").partitionBy("run_id", "wave")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("run_id", "wave")
                  .parquet(metrics_path))
 
             # lineage: per-bucket counts + warc_ts watermark from the freshly
@@ -336,7 +351,9 @@ class QualityFilterPipeline:
                 # per-wave dynamic partition overwrite, like metrics: a wave
                 # re-run after a crash-between-lineage-and-checkpoint
                 # replaces its partition instead of duplicating rows
-                (lineage.write.mode("overwrite").partitionBy("run_id", "wave")
+                (lineage.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("run_id", "wave")
                  .parquet(lineage_path))
 
             if store:

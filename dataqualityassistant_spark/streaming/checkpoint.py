@@ -33,15 +33,9 @@ class CheckpointStore:
         return os.path.join(self.root, run_id)
 
     def completed_buckets(self, run_id: str) -> set[int]:
-        d = self._run_dir(run_id)
         done: set[int] = set()
-        if not os.path.isdir(d):
-            return done
-        for name in sorted(os.listdir(d)):
-            if name.endswith(".json"):
-                with open(os.path.join(d, name)) as f:
-                    rec = json.load(f)
-                done.update(rec["buckets"])
+        for rec in self.records(run_id):
+            done.update(rec["buckets"])
         return done
 
     def records(self, run_id: str) -> list[dict[str, Any]]:

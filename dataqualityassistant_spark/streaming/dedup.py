@@ -136,6 +136,23 @@ def make_near_dedup_processor(
     return process_batch
 
 
+def _normalize_checkpoint_path(path: str) -> str:
+    """Canonical spelling of a checkpoint location for prefix hashing:
+    equivalent respellings must hash identically (see stream_near_dedup).
+    ``file:`` URIs and bare paths → the same absolute local path; other
+    schemes → lowercased scheme/authority + normalized path."""
+    import os
+    import posixpath
+    from urllib.parse import unquote, urlsplit
+
+    parts = urlsplit(path)
+    if parts.scheme in ("", "file") and not parts.netloc:
+        local = unquote(parts.path) if parts.scheme == "file" else path
+        return os.path.abspath(os.path.normpath(local))
+    norm_path = posixpath.normpath(unquote(parts.path)).rstrip("/") or "/"
+    return f"{parts.scheme.lower()}://{parts.netloc.lower()}{norm_path}"
+
+
 def stream_near_dedup(
     df: DataFrame,
     store_path: str,
@@ -162,20 +179,23 @@ def stream_near_dedup(
     the SAME query (same checkpoint) keep the same prefix — required for
     replay idempotency — while a second stream with its own checkpoint gets
     a distinct prefix and cannot clobber this one's store partitions.
-    The path is NORMALIZED before hashing (local paths resolved absolute,
-    trailing slashes stripped): Spark resolves equivalent spellings of one
+    The path is NORMALIZED before hashing (``file:`` URIs and bare paths
+    both resolve to the same absolute local path; other schemes get
+    lowercased scheme/authority and a normalized path, trailing slashes
+    stripped): Spark resolves equivalent spellings of one
     checkpointLocation to the same offsets, so a restart that respells the
-    path (``ckpt`` vs ``/abs/ckpt/``) must also land on the same prefix —
-    a different prefix would defeat the replay filter and silently drop the
-    replayed batch's survivors as corpus duplicates."""
+    path (``ckpt`` vs ``/abs/ckpt/`` vs ``file:///abs/ckpt``) must also
+    land on the same prefix — a different prefix would defeat the replay
+    filter and silently drop the replayed batch's survivors as corpus
+    duplicates. Remote-scheme corner cases a string can't resolve
+    (symlinks, ``hdfs://host`` vs ``hdfs://host.fqdn``) need an explicit
+    ``batch_id_prefix``."""
     if batch_id_prefix is None:
         import hashlib
-        import os
 
-        norm = checkpoint_path.rstrip("/")
-        if "://" not in norm:  # URI schemes (file:, hdfs:, s3a:) left as-is
-            norm = os.path.abspath(os.path.normpath(norm))
-        digest = hashlib.sha256(norm.encode("utf-8")).hexdigest()[:10]
+        digest = hashlib.sha256(
+            _normalize_checkpoint_path(checkpoint_path).encode("utf-8")
+        ).hexdigest()[:10]
         batch_id_prefix = f"stream-{digest}"
     writer = (
         df.writeStream

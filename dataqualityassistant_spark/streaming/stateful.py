@@ -94,8 +94,12 @@ def domain_running_stats(scored_stream: DataFrame,
     idle for that long is evicted on the next processed batch with one final
     ``evicted=True`` changelog row carrying its last totals, and its state
     is removed — a later reappearance restarts from zero."""
+    # unparseable URLs keep a NULL domain — the SAME grouping the batch
+    # analog (QualityFilterPipeline.domain_stats) uses, so the streaming
+    # changelog and batch stats agree row-for-row; Spark groups null keys
+    # into one state group like any other key
     keyed = scored_stream.select(
-        F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit("")).alias("domain"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"),
         F.col("verdict").cast("long").alias("kept"),
     )
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
@@ -125,19 +129,37 @@ def start_domain_stats_stream(
     contract as the scoring stream (stream_filter.py): a replayed batch
     replaces its own changelog partition. The LATEST batch_id row per domain
     is the current running total."""
+    if trigger_once and idle_timeout_ms is not None:
+        # availableNow + ProcessingTimeTimeout never self-terminates (Spark
+        # ticks empty micro-batches forever to service future timers) — a
+        # caller awaiting termination would wedge. Timed eviction belongs to
+        # continuously-running deployments that poll and stop explicitly.
+        raise ValueError(
+            "trigger_once=True cannot be combined with idle_timeout_ms: "
+            "availableNow plus processing-time timers never self-terminates; "
+            "run continuously (trigger_once=False) and stop the query "
+            "explicitly, or drop the idle timeout for drain-and-stop runs")
     pipe = pipeline or QualityFilterPipeline()
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
     updates = domain_running_stats(pipe.score(pages), idle_timeout_ms=idle_timeout_ms)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        (batch_df.withColumn("batch_id", F.lit(batch_id))
-         .coalesce(1)  # changelog rows per batch are few (≤ touched domains)
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id")
-         .parquet(output_path))
+        # batch_df's plan is the OUTPUT of the stateful operator: each
+        # action re-runs scoring + shuffle + state-store work, so the
+        # emptiness probe and the write must share ONE execution — persist
+        # first (unlike stream_filter, where isEmpty probes the raw source)
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            (batch_df.withColumn("batch_id", F.lit(batch_id))
+             .coalesce(1)  # changelog rows per batch are few (≤ touched domains)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(output_path))
+        finally:
+            batch_df.unpersist()
 
     writer = (updates.writeStream
               .outputMode("update")

@@ -41,6 +41,9 @@ def make_batch_processor(
     with the same ``batch_id`` (simulating a replayed micro-batch after a
     crash-before-checkpoint-commit) must leave exactly one copy of the
     batch's rows and metrics."""
+    # compile the rule-suite masks ONCE per processor, not per micro-batch:
+    # they are deterministic for the pipeline, and only needed for metrics
+    masks = pipe._expectation_metric_masks() if metrics_path else []
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -49,18 +52,13 @@ def make_batch_processor(
             # produce a metrics row
             return
         scored = pipe.score(batch_df)
-        masks = pipe._expectation_metric_masks()
         obs = None
         if metrics_path:
             # metrics ride the write via observe(): scored exactly once.
             # anonymous Observation: names are registered once per session,
             # so a REPLAYED batch_id would collide with its first attempt
             obs = Observation()
-            aggs = [F.count(F.lit(1)).alias("element_count")] + [
-                F.sum(F.when(m, 1).otherwise(0)).alias(f"u{k}")
-                for k, (_, _, _, _, m) in enumerate(masks)
-            ]
-            scored = scored.observe(obs, *aggs)
+            scored = scored.observe(obs, *pipe.metric_aggs(masks))
         drop = [c for c in pipe.output_drop_columns if c in scored.columns]
         if drop:
             scored = scored.drop(*drop)

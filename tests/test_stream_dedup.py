@@ -177,3 +177,21 @@ def test_stream_dedup_rejects_dedup_key_collision(spark):
         .withColumnRenamed("doc_id", "__dedup_key")
     with pytest.raises(ValueError, match="__dedup_key"):
         stream_dedup(df, text_col="text")
+
+
+def test_stream_prefix_checkpoint_path_normalization():
+    """Equivalent respellings of one checkpoint location must hash to the
+    same store prefix (a differing prefix defeats the replay filter and
+    silently drops the replayed batch's survivors)."""
+    import os
+
+    from dataqualityassistant_spark.streaming.dedup import (
+        _normalize_checkpoint_path as norm,
+    )
+
+    assert norm("/a/b/ckpt") == norm("/a/b/ckpt/")
+    assert norm("/a/b/ckpt") == norm("/a/b/../b/ckpt")
+    assert norm("/a/b/ckpt") == norm("file:///a/b/ckpt")
+    assert norm("ckpt") == os.path.abspath("ckpt")
+    assert norm("hdfs://NameNode:8020/x/./y/") == norm("hdfs://namenode:8020/x/y")
+    assert norm("/a/x") != norm("/a/y")

@@ -383,10 +383,14 @@ def test_stateful_domain_stats_accumulate_across_batches(spark, tmp_path):
     q.awaitTermination(120)
 
     log = spark.read.parquet(out).toPandas()
-    latest = (log.sort_values("batch_id").groupby("domain").last().reset_index())
+    # unparseable URLs keep a NULL domain on BOTH sides now (stream ==
+    # batch); normalize null to "" identically, purely for the merge key
+    latest = (log.sort_values("batch_id")
+              .groupby("domain", dropna=False).last().reset_index())
+    latest["domain"] = latest["domain"].fillna("")
 
     pages = spark.createDataFrame(pages_batch(0, 200), PAGES_SCHEMA)
-    want = pipe.domain_stats(pipe.score(pages)).toPandas().fillna({"domain": ""})
+    want = pipe.domain_stats(pipe.score(pages)).toPandas()
     want["domain"] = want["domain"].fillna("")
     merged = latest.merge(want, on="domain", suffixes=("_stream", "_batch"))
     assert len(merged) == len(want)
@@ -563,3 +567,15 @@ def test_pipeline_input_split_bytes_scoped(spark, tmp_path):
     stats = pipe.run(spark, pages, out, run_id="split-test")
     assert stats["rows"] == 500
     assert spark.conf.get(key) == before  # restored after the run
+
+
+def test_stateful_stream_rejects_trigger_once_with_idle_timeout(spark, tmp_path):
+    """availableNow + processing-time timers never self-terminates (Spark
+    ticks empty batches forever to service timers) — the combination must
+    be rejected up front instead of wedging awaitTermination."""
+    from dataqualityassistant_spark.streaming.stateful import start_domain_stats_stream
+
+    with pytest.raises(ValueError, match="idle_timeout_ms"):
+        start_domain_stats_stream(
+            spark, str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), trigger_once=True, idle_timeout_ms=1000)

@@ -92,8 +92,17 @@ def decontaminate(
     """Drop every doc with >= ``min_hits`` distinct benchmark n-grams. The
     flagged-id relation is tiny (contamination is rare by construction), so
     the removal is a broadcast left-anti join — the corpus itself never
-    shuffles."""
+    shuffles.
+
+    NULL-id docs: ``contamination_hits`` pools them into one NULL group, and
+    the anti-join below matches NULL keys null-safely — so when the pooled
+    NULL group crosses ``min_hits``, ALL null-id docs are dropped together
+    (conservative hygiene; a plain anti-join would never match NULL and
+    contaminated null-id docs would silently pass through). Give docs real
+    ids for per-document thresholds."""
     flagged = contamination_hits(
         docs, benchmark, n, text_col, id_col, bench_text_col
-    ).where(F.col("n_hits") >= min_hits).select(id_col)
-    return docs.join(F.broadcast(flagged), id_col, "left_anti")
+    ).where(F.col("n_hits") >= min_hits).select(F.col(id_col).alias("__flagged_id"))
+    return (docs.join(F.broadcast(flagged),
+                      F.col(id_col).eqNullSafe(F.col("__flagged_id")),
+                      "left_anti"))

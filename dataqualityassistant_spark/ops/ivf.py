@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .sampling import SCALE
+from .sampling import hash_sample, hash_topn_sample
 from .similarity import cosine_topk
 
 __all__ = [
@@ -60,17 +60,35 @@ def kmeans_fit(vectors: np.ndarray, n_centroids: int, n_iters: int = 10) -> np.n
     callers pass rows sorted by id, making the whole fit a pure function of
     the sample (no RNG), which is what lets the serial oracle reproduce the
     codebook exactly. Empty clusters keep their previous centroid."""
-    x = _unit_rows(np.asarray(vectors, dtype=np.float64))
-    seen: list[np.ndarray] = []
-    for row in x:
-        if not any(np.array_equal(row, s) for s in seen):
-            seen.append(row)
-        if len(seen) == n_centroids:
-            break
-    if len(seen) < n_centroids:
+    try:
+        x = np.asarray(vectors, dtype=np.float64)
+    except ValueError as e:  # ragged rows can't form a 2-D float matrix
         raise ValueError(
-            f"need >= {n_centroids} distinct vectors to init, got {len(seen)}")
-    c = np.stack(seen)
+            f"need >= {n_centroids} distinct vectors to init: training "
+            f"sample is ragged (mixed embedding dims): {e}") from e
+    if x.ndim != 2 or x.shape[0] == 0:
+        # an empty (or 1-D) sample would die later with a cryptic numpy
+        # AxisError — fail with the intended message instead
+        raise ValueError(
+            f"need >= {n_centroids} distinct vectors to init, got 0 "
+            "(empty or malformed training sample)")
+    x = _unit_rows(x)
+    # first-seen distinct rows via hashed row bytes (±0.0 canonicalized so
+    # equality matches ==) — the previous per-row array_equal scan was
+    # O(rows × centroids) driver time on duplicate-heavy samples
+    seen: set[bytes] = set()
+    order: list[int] = []
+    for i in range(x.shape[0]):
+        key = np.where(x[i] == 0.0, 0.0, x[i]).tobytes()
+        if key not in seen:
+            seen.add(key)
+            order.append(i)
+            if len(order) == n_centroids:
+                break
+    if len(order) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} distinct vectors to init, got {len(order)}")
+    c = x[order].copy()
     for _ in range(n_iters):
         assign = np.argmax(x @ c.T, axis=1)
         for j in range(n_centroids):
@@ -105,13 +123,15 @@ def _training_sample(
     codebooks are unchanged."""
     sampled = df.where(F.col(vec_col).isNotNull())
     if sample_fraction < 1.0:
-        keep = F.pmod(F.xxhash64(F.col(id_col).cast("long"), F.lit(salt).cast("long")),
-                      F.lit(SCALE)) < int(round(sample_fraction * SCALE))
-        sampled = sampled.where(keep)
+        # the documented sampling semantics live in ops.sampling — reuse
+        # them (identical expression: pmod(xxhash64(id::long, salt), SCALE))
+        sampled = hash_sample(sampled, sample_fraction, id_col=id_col, salt=salt)
     sampled = sampled.select(id_col, vec_col)
     if max_train_rows is not None:
-        cap_hash = F.xxhash64(F.col(id_col).cast("long"), F.lit(salt + 1).cast("long"))
-        sampled = sampled.orderBy(cap_hash, F.col(id_col)).limit(int(max_train_rows))
+        # hash_topn_sample at salt+1 = the hard cap: an independent draw
+        # from the fraction filter, compiled to TakeOrderedAndProject
+        sampled = hash_topn_sample(sampled, int(max_train_rows),
+                                   id_col=id_col, salt=salt + 1)
     return sampled
 
 
@@ -145,15 +165,23 @@ def ivf_assign(
 ) -> DataFrame:
     """Nearest-centroid id per row: one ``argmax(X @ C.T)`` per Arrow batch.
     The codebook ships in the UDF closure (n_centroids × dim floats —
-    metadata-sized, no broadcast variable needed)."""
+    metadata-sized, no broadcast variable needed). Rows whose vector length
+    differs from the codebook dim get a NULL centroid like NULL vectors —
+    a single ragged row must not crash np.stack for the whole job (the same
+    hardening as ``cosine_topk``'s scoring kernel)."""
     c = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    dim = c.shape[1]
 
     @pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
-        out = pd.array([None] * len(vecs), dtype="Int32")
-        valid = vecs.notna().to_numpy()
+        n = len(vecs)
+        out = pd.array([None] * n, dtype="Int32")
+        arrs = vecs.to_numpy()
+        lens = np.fromiter((len(a) if a is not None else -1 for a in arrs),
+                           dtype=np.int64, count=n)
+        valid = lens == dim
         if valid.any():
-            m = _unit_rows(np.stack(vecs[valid].to_numpy()).astype(np.float64))
+            m = _unit_rows(np.stack(arrs[valid]).astype(np.float64))
             out[valid] = np.argmax(m @ c.T, axis=1).astype(np.int32)
         return pd.Series(out)
 

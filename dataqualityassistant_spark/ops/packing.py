@@ -79,8 +79,13 @@ def pack_sequences(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         # sort for a canonical input order (shuffle arrival order is not
-        # deterministic), then FFD over token counts
-        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        # deterministic), then FFD over token counts. token_count is the
+        # tiebreak: duplicate doc_ids with different counts would otherwise
+        # keep arrival order under the stable sort and flip pack_ids across
+        # reruns — the result must be a pure function of the (id, count)
+        # multiset
+        pdf = (pdf.sort_values(["doc_id", "token_count"], kind="mergesort")
+               .reset_index(drop=True))
         bins = ffd_pack([int(t) for t in pdf["token_count"]], max_tokens)
         return pd.DataFrame({
             "doc_id": pdf["doc_id"],

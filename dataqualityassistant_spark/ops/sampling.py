@@ -54,15 +54,20 @@ def _bucket_col(id_col: Column | str, salt: int, key_expr: Column | None = None)
 
 
 def hash_sample(
-    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: int = 42
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: int = 42,
+    key_expr: Column | None = None,
 ) -> DataFrame:
     """Keep a deterministic ``fraction`` of rows keyed by ``id_col``.
 
     NULL ids all hash to one bucket (kept or dropped together) — filter
-    them first if that matters."""
+    them first if that matters. ``key_expr`` replaces the numeric id for
+    non-numeric row keys (e.g. ``F.col("url")``): the default path casts
+    ``id_col`` to long, which under ANSI mode ERRORS on non-numeric strings
+    (and with ANSI off silently NULLs every key into one bucket — an
+    all-or-nothing "sample")."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.where(_bucket_col(id_col, salt) < int(round(fraction * SCALE)))
+    return df.where(_bucket_col(id_col, salt, key_expr) < int(round(fraction * SCALE)))
 
 
 def stratified_hash_sample(
@@ -94,7 +99,8 @@ def stratified_hash_sample(
 
 
 def hash_topn_sample(
-    df: DataFrame, n: int, id_col: str = "doc_id", salt: int = 42
+    df: DataFrame, n: int, id_col: str = "doc_id", salt: int = 42,
+    key_expr: Column | None = None,
 ) -> DataFrame:
     """EXACT-size deterministic sample: the ``n`` rows with the smallest
     ``xxhash64(id, salt)`` — hash order is pseudo-random, so this is a
@@ -103,36 +109,57 @@ def hash_topn_sample(
     per-partition top-n heaps merged on the driver, no global sort. Note
     it is NOT append-stable (new rows can displace old ones — that is what
     exact size costs; use :func:`hash_sample` when append stability
-    matters more than exact count)."""
-    h = F.xxhash64(F.col(id_col).cast("long"), F.lit(int(salt)).cast("long"))
+    matters more than exact count). ``key_expr`` replaces the numeric id
+    for non-numeric row keys (see :func:`hash_sample`)."""
+    key = key_expr if key_expr is not None else F.col(id_col).cast("long")
+    h = F.xxhash64(key, F.lit(int(salt)).cast("long"))
     return df.orderBy(h.asc(), F.col(id_col).asc()).limit(n)
 
 
 def train_holdout_split(
-    df: DataFrame, holdout: float = 0.01, id_col: str = "doc_id", salt: int = 777
+    df: DataFrame, holdout: float = 0.01, id_col: str = "doc_id", salt: int = 777,
+    key_expr: Column | None = None,
 ) -> DataFrame:
     """Add a ``split`` column ('holdout' / 'train'): a stable eval carve-out
     that survives reruns and corpus growth (a doc never migrates between
     splits as data is appended). Use a salt distinct from any sampling salt
-    so the holdout is an independent draw."""
+    so the holdout is an independent draw. ``key_expr`` replaces the numeric
+    id for non-numeric row keys (see :func:`hash_sample`)."""
     return df.withColumn(
         "split",
-        F.when(_bucket_col(id_col, salt) < int(round(holdout * SCALE)), "holdout")
+        F.when(_bucket_col(id_col, salt, key_expr) < int(round(holdout * SCALE)),
+               "holdout")
         .otherwise("train"),
     )
 
 
-def mix_rates(counts: dict[str, int], weights: dict[str, float]) -> dict[str, float]:
+def mix_rates(counts: dict[str, int], weights: dict[str, float],
+              missing_ok: bool = False) -> dict[str, float]:
     """Per-stratum keep-rates that rebalance a corpus to target ``weights``
     (e.g. ``{"en": 0.5, "de": 0.3, "fr": 0.2}``) while keeping the largest
     feasible total: the binding stratum (smallest ``count/weight``) is kept
     in full and every other stratum is downsampled to proportion. Strata
-    absent from ``weights`` get rate 0. Pure driver-side arithmetic."""
-    pos = {s: w for s, w in weights.items() if w > 0 and counts.get(s, 0) > 0}
-    if not pos:
+    absent from ``weights`` get rate 0. Pure driver-side arithmetic.
+
+    A positively-weighted stratum with ZERO rows makes the requested
+    proportions unsatisfiable; silently renormalizing over the present
+    strata would return a mix that does not match ``weights``, so that case
+    RAISES unless ``missing_ok=True`` (explicit opt-in to renormalization).
+    When no weighted stratum has rows at all, every rate is 0 — the result
+    is empty, not silently mis-proportioned."""
+    pos = {s: w for s, w in weights.items() if w > 0}
+    present = {s: w for s, w in pos.items() if counts.get(s, 0) > 0}
+    missing = sorted(set(pos) - set(present))
+    if missing and present and not missing_ok:
+        raise ValueError(
+            f"strata with positive weight have zero rows: {missing}; the "
+            "mix cannot match the requested proportions — drop them from "
+            "weights, or pass missing_ok=True to renormalize over the "
+            "present strata")
+    if not present:
         return {s: 0.0 for s in weights}
-    scale = min(counts[s] / w for s, w in pos.items())
-    return {s: (min(1.0, scale * pos[s] / counts[s]) if s in pos else 0.0)
+    scale = min(counts[s] / w for s, w in present.items())
+    return {s: (min(1.0, scale * present[s] / counts[s]) if s in present else 0.0)
             for s in weights}
 
 
@@ -142,6 +169,7 @@ def mix_corpus(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     salt: int = 42,
+    missing_ok: bool = False,
 ) -> DataFrame:
     """Rebalance a corpus to target stratum ``weights`` by deterministic
     hash sampling: ONE small aggregation job fetches per-stratum counts
@@ -149,10 +177,12 @@ def mix_corpus(
     keep-rates, and the data path is a single no-shuffle filter. The
     binding stratum survives intact; the result's proportions match
     ``weights`` up to sampling noise. Deterministic for a fixed input
-    (rates depend only on the exact per-stratum counts)."""
+    (rates depend only on the exact per-stratum counts). A weighted
+    stratum with no rows raises unless ``missing_ok=True`` (see
+    :func:`mix_rates`)."""
     counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
               if r[0] is not None}
-    rates = mix_rates(counts, weights)
+    rates = mix_rates(counts, weights, missing_ok=missing_ok)
     return stratified_hash_sample(
         df, rates, strata_col=strata_col, id_col=id_col, salt=salt,
         default_fraction=0.0)

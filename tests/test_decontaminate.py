@@ -89,3 +89,17 @@ def test_plan_broadcast_probe_no_corpus_shuffle(spark, corpus, bench):
     assert plan.index("BroadcastHashJoin") > plan.index("Exchange hashpartitioning"), plan
     drop_plan = decontaminate(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in drop_plan and "LeftAnti" in drop_plan, drop_plan
+
+
+def test_null_id_contaminated_docs_are_dropped(spark, bench):
+    """NULL-id docs pool into one group; when the pooled hits cross
+    min_hits every null-id doc is dropped (a plain anti-join never matches
+    NULL keys, so they used to pass through silently)."""
+    from dataqualityassistant_spark.ops.decontaminate import decontaminate
+
+    bench_text = bench.select("text").first()["text"]
+    rows = [(None, bench_text), (None, "totally clean words here okay"),
+            (7, "other clean document full of safe words")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    kept = decontaminate(docs, bench, n=8, min_hits=1)
+    assert [r["doc_id"] for r in kept.collect()] == [7]

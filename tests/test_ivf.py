@@ -154,3 +154,36 @@ def test_default_training_collect_is_bounded(spark, corpus):
     c_cap = train_ivf_centroids(df, n_centroids=4, n_iters=3, max_train_rows=500)
     c_off = train_ivf_centroids(df, n_centroids=4, n_iters=3, max_train_rows=None)
     assert np.array_equal(c_cap, c_off)
+
+
+def test_kmeans_empty_and_ragged_raise_informatively():
+    import numpy as np
+    import pytest as _pytest
+
+    from dataqualityassistant_spark.ops.ivf import kmeans_fit
+
+    with _pytest.raises(ValueError, match="distinct vectors"):
+        kmeans_fit(np.empty((0, 8)), 4)
+    with _pytest.raises(ValueError, match="ragged|distinct"):
+        kmeans_fit([[1.0, 2.0], [1.0, 2.0, 3.0]], 2)
+
+
+def test_ivf_assign_ragged_vector_gets_null_centroid(spark):
+    """One wrong-dim vector must not crash the whole assignment stage (the
+    cosine_topk hardening, mirrored): it gets a NULL centroid like a NULL
+    vector."""
+    import numpy as np
+
+    from dataqualityassistant_spark.ops.ivf import ivf_assign, kmeans_fit
+
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((20, 8))
+    cb = kmeans_fit(vecs, 4)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append((100, [1.0, 2.0]))     # wrong dim
+    rows.append((101, None))           # null vector
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in ivf_assign(df, cb).collect()}
+    assert got[100] is None and got[101] is None
+    assert all(got[i] is not None for i in range(20))

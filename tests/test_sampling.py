@@ -132,3 +132,39 @@ def test_mix_corpus_rebalances(spark):
     a = {r["doc_id"] for r in out.collect()}
     b = {r["doc_id"] for r in mix_corpus(df.repartition(7), {"en": 0.5, "de": 0.5}).collect()}
     assert a == b
+
+
+def test_mix_rates_partial_missing_stratum_raises():
+    """A positively-weighted stratum with zero rows makes the requested
+    proportions unsatisfiable — silent renormalization returned a mix that
+    did not match the weights; now it raises unless explicitly opted in."""
+    import pytest as _pytest
+
+    from dataqualityassistant_spark.ops.sampling import mix_rates
+
+    with _pytest.raises(ValueError, match="fr"):
+        mix_rates({"en": 1000}, {"en": 0.5, "fr": 0.5})
+    rates = mix_rates({"en": 1000}, {"en": 0.5, "fr": 0.5}, missing_ok=True)
+    assert rates == {"en": 1.0, "fr": 0.0}
+
+
+def test_hash_sample_string_key_expr(spark):
+    """Non-numeric ids need key_expr: the default cast-to-long would error
+    under ANSI (or NULL every key into one all-or-nothing bucket)."""
+    from pyspark.sql import functions as F_
+
+    from dataqualityassistant_spark.ops.sampling import (
+        hash_sample,
+        hash_topn_sample,
+        train_holdout_split,
+    )
+
+    rows = [(f"https://example.com/p/{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "url string")
+    kept = hash_sample(df, 0.25, id_col="url", key_expr=F_.col("url")).count()
+    assert 0 < kept < 400 and abs(kept - 100) < 60
+    top = hash_topn_sample(df, 50, id_col="url", key_expr=F_.col("url"))
+    assert top.count() == 50
+    split = train_holdout_split(df, 0.1, id_col="url", key_expr=F_.col("url"))
+    n_hold = split.where("split = 'holdout'").count()
+    assert 0 < n_hold < 400

@@ -49,6 +49,12 @@ _ENTITIES: list[tuple[str, str]] = [
     ("&amp;", "&"),  # LAST: so "&amp;lt;" decodes to "&lt;", not "<"
 ]
 _WS = r"\s+"
+# Python-side collapse class matching Java (?U)\s EXACTLY: Python \s also
+# matches the C0 separators \x1c-\x1f (which Java's Unicode White_Space does
+# not), so the mirror must exclude them or the byte-identical contract
+# breaks on payloads containing FS/GS/RS/US (same convention as
+# text_features.PY_WS_RE).
+_PY_WS = r"[^\S\x1c-\x1f]+"
 
 
 def html_to_text_column(col: Column | str, is_binary: bool = True) -> Column:
@@ -83,4 +89,7 @@ def html_to_text_python(html: bytes | str | None) -> str | None:
         text = rx.sub(repl, text)
     for ent, ch in _ENTITIES:
         text = text.replace(ent, ch)
-    return re.sub(_WS, " ", text).strip()
+    # strip(" ") not strip(): after the collapse the only strippable edge
+    # whitespace is a single space; .strip() would also remove edge
+    # \x1c-\x1f chars that the JVM F.trim keeps
+    return re.sub(_PY_WS, " ", text).strip(" ")

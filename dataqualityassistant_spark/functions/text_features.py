@@ -32,6 +32,16 @@ from dataqualityassistant_spark.functions.corpus import EN_STOPWORDS
 _STOPWORDS = sorted(EN_STOPWORDS)
 _NORM_RE = re.compile(r"(^[^a-z]+)|([^a-z]+$)")
 
+# Python-side whitespace matching Java's (?U)\s EXACTLY (the Unicode
+# White_Space property): Python's \s additionally matches the C0 separators
+# \x1c-\x1f (str.isspace() quirk), which Java does not — real crawl text
+# containing FS/GS/RS/US would otherwise tokenize differently on the JVM
+# expressions vs this mirror (and vs the fused scoring UDF). [^\S\x1c-\x1f]
+# = "whitespace minus \x1c-\x1f". str.strip() has the same quirk, so line
+# trimming uses the same class instead of .strip().
+PY_WS_RE = re.compile(r"[^\S\x1c-\x1f]+")
+_PY_WS_STRIP = re.compile(r"^[^\S\x1c-\x1f]+|[^\S\x1c-\x1f]+$")
+
 # Order matters for docs: these are the columns with_text_features adds.
 FEATURE_COLUMNS = [
     "n_chars",
@@ -54,7 +64,9 @@ FEATURE_COLUMNS = [
 
 def _norm_word(w: Column) -> Column:
     # lowercase, strip leading/trailing non-letters (so "The," matches "the")
-    return F.regexp_replace(F.lower(w), r"(^[^a-z]+)|([^a-z]+$)", "")
+    # — the ONE pattern shared with the pandas mirror (_NORM_RE), so the two
+    # sides cannot drift independently
+    return F.regexp_replace(F.lower(w), _NORM_RE.pattern, "")
 
 
 def text_feature_exprs(text_col: str = "text") -> dict[str, Column]:
@@ -65,7 +77,14 @@ def text_feature_exprs(text_col: str = "text") -> dict[str, Column]:
     # tokenize unicode text differently
     words = F.filter(F.split(t, r"(?U)\s+"), lambda w: w != F.lit(""))
     wc = F.size(words)
-    lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != F.lit(""))
+    # line trim matches the mirror's whitespace class (Unicode White_Space)
+    # — F.trim strips ASCII space ONLY, so a CRLF document's '\r' would
+    # survive here while the mirror stripped it (off-by-one line lengths,
+    # '\r'-only lines counted non-empty)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"),
+                    lambda l: F.regexp_replace(l, r"(?U)^\s+|\s+$", "")),
+        lambda l: l != F.lit(""))
     nl = F.size(lines)
 
     def safe_ratio(num: Column, den: Column) -> Column:
@@ -108,7 +127,8 @@ def text_feature_exprs(text_col: str = "text") -> dict[str, Column]:
 
 # ---------------------------------------------------------------- repetition
 
-def repetition_features(text: str | None) -> tuple[float, float, float]:
+def repetition_features(text: str | None,
+                        words: list[str] | None = None) -> tuple[float, float, float]:
     """(top_2gram_char_frac, top_3gram_char_frac, dup_5gram_char_frac).
 
     Gopher-style repetition signals over word n-grams:
@@ -116,10 +136,13 @@ def repetition_features(text: str | None) -> tuple[float, float, float]:
         2-gram / 3-gram (when it occurs more than once);
       - fraction of characters covered by 5-grams that occur ≥2 times.
     Pure function shared by the Spark UDF and the pandas oracle.
+    ``words`` lets a caller that already tokenized (``_pandas_features_one``
+    on the fused hot path) skip the second full-text regex split.
     """
     if not text:
         return (float("nan"),) * 3
-    words = [w for w in re.split(r"\s+", text) if w]
+    if words is None:
+        words = [w for w in PY_WS_RE.split(text) if w]
     total_chars = sum(len(w) for w in words)
     if total_chars == 0 or len(words) < 2:
         return (0.0, 0.0, 0.0)
@@ -203,8 +226,8 @@ def _pandas_features_one(text: str | None) -> dict:
     out: dict[str, object] = {c: None for c in FEATURE_COLUMNS}
     if text is None:
         return out
-    words = [w for w in re.split(r"\s+", text) if w]
-    lines = [l.strip() for l in text.split("\n")]
+    words = [w for w in PY_WS_RE.split(text) if w]
+    lines = [_PY_WS_STRIP.sub("", l) for l in text.split("\n")]
     lines = [l for l in lines if l]
     wc, nl = len(words), len(lines)
     out["n_chars"] = len(text)
@@ -224,7 +247,7 @@ def _pandas_features_one(text: str | None) -> dict:
         out["bullet_line_frac"] = sum(1 for l in lines if re.match(r"^[-*•·]", l)) / nl
         out["ellipsis_line_frac"] = sum(1 for l in lines if re.search(r"(\.\.\.|…)$", l)) / nl
         out["dup_line_frac"] = (nl - len(set(lines))) / nl
-    r2, r3, r5 = repetition_features(text)
+    r2, r3, r5 = repetition_features(text, words)
     out["top_2gram_char_frac"] = r2
     out["top_3gram_char_frac"] = r3
     out["dup_5gram_char_frac"] = r5

@@ -51,27 +51,36 @@ def canonicalize_url(
 ) -> Column:
     """Canonical form of a URL, as a codegen-friendly expression chain:
 
-    1. trim; drop the ``#fragment``;
+    1. trim ASCII whitespace (explicit ``[ \\t\\n\\f\\r]`` class — ``F.trim``
+       strips spaces ONLY, so ``'http://x/\\n'`` would stay distinct from
+       its clean twin); drop the ``#fragment``;
     2. lowercase the ``scheme://authority`` part (path/query untouched);
-    3. drop default ports (``http://…:80``, ``https://…:443``);
-    4. drop a leading ``www.``;
-    5. remove tracking query parameters and tidy leftover ``?``/``&``;
+    3. drop default ports (``http://…:80``, ``https://…:443``) — the
+       authority match is ``[^/]*`` so userinfo URLs
+       (``http://user:pw@host:80``) normalize too;
+    4. drop a leading ``www.`` of the HOST (also after userinfo);
+    5. remove tracking query parameters case-insensitively and tidy
+       leftover ``?``/``&``;
     6. drop trailing slashes from a query-less path.
 
     Idempotent (property-tested). Heuristic by design — no percent-decoding
     or query-param re-sorting (both can change semantics for some sites).
     """
-    url = F.trim(F.col(col) if isinstance(col, str) else col)
+    url = F.col(col) if isinstance(col, str) else col
+    url = F.regexp_replace(url, r"^[ \t\n\f\r]+|[ \t\n\f\r]+$", "")
     url = F.regexp_replace(url, "#.*", "")
 
     prefix = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     rest = url.substr(F.length(prefix) + 1, F.length(url))
     prefix = F.lower(prefix)
-    prefix = F.regexp_replace(prefix, r"^(http://[^/:]*):80$", "$1")
-    prefix = F.regexp_replace(prefix, r"^(https://[^/:]*):443$", "$1")
-    prefix = F.regexp_replace(prefix, r"^(https?://)www\.", "$1")
+    prefix = F.regexp_replace(prefix, r"^(http://[^/]*):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https://[^/]*):443$", "$1")
+    # strip www. from the HOST only: the lookahead rejects a match inside
+    # userinfo ('https://www.user:pw@host' — 'www.user:pw' is userinfo, and
+    # the optional [^/@]*@ group consumes real userinfo before the host)
+    prefix = F.regexp_replace(prefix, r"^(https?://(?:[^/@]*@)?)www\.(?![^/]*@)", "$1")
 
-    tracker = "|".join(tracking_params)
+    tracker = "(?i:" + "|".join(tracking_params) + ")"
     for _ in range(_STRIP_PASSES):
         # a tracker followed by another param: keep the leading delimiter
         rest = F.regexp_replace(rest, f"([?&])(?:{tracker})=[^&]*&", "$1")

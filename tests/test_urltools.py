@@ -97,7 +97,7 @@ def test_canonicalize_matches_urllib_reimplementation(spark):
     from urllib.parse import urlsplit
 
     def py_canon(u):
-        u = u.strip()
+        u = u.strip(" \t\n\f\r")
         u = u.split("#", 1)[0]
         try:
             parts = urlsplit(u)
@@ -111,9 +111,12 @@ def test_canonicalize_matches_urllib_reimplementation(spark):
             netloc = netloc[:-3]
         if scheme == "https" and netloc.endswith(":443"):
             netloc = netloc[:-4]
-        if netloc.startswith("www.") and scheme in ("http", "https"):
-            netloc = netloc[4:]
-        tracker = _re.compile(r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref|ref_src)=")
+        # www strips from the HOST part, also when userinfo is present
+        ui, sep, hostport = netloc.rpartition("@")
+        if hostport.startswith("www.") and scheme in ("http", "https"):
+            netloc = ui + sep + hostport[4:]
+        tracker = _re.compile(r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref|ref_src)=",
+                              _re.IGNORECASE)
         params = [p for p in parts.query.split("&") if p] if parts.query else []
         kept = [p for p in params if not tracker.match(p)]
         path = parts.path
@@ -125,13 +128,16 @@ def test_canonicalize_matches_urllib_reimplementation(spark):
     import random
     rng = random.Random(19)
     schemes = ["http://", "HTTPS://", "https://WWW.", "http://www."]
-    hosts = ["Example.com", "sub.Example.COM:443", "a-b.org:80", "x.io:9000", "EX.com:443"]
+    hosts = ["Example.com", "sub.Example.COM:443", "a-b.org:80", "x.io:9000", "EX.com:443",
+             "user:Pw@Example.com:80", "u@www.Site.org"]
     paths = ["", "/", "/p", "/p/q/", "/deep/er/path"]
     queries = ["", "?id=1", "?utm_source=a", "?utm_a=1&utm_b=2&z=3", "?id=1&ref=x&z=2",
-               "?a=1&b=2", "?gclid=9&id=2", "?id=2&msclkid=7"]
+               "?a=1&b=2", "?gclid=9&id=2", "?id=2&msclkid=7", "?UTM_SOURCE=A&id=3",
+               "?Ref=x&GCLID=2"]
     frags = ["", "#f", "#a=b"]
-    urls = ["".join(rng.choice(p) for p in (schemes, hosts, paths, queries, frags))
-            for _ in range(400)]
+    pads = ["", "\n", "\t", " "]
+    urls = ["".join(rng.choice(p) for p in (pads, schemes, hosts, paths, queries, frags))
+            + rng.choice(pads) for _ in range(400)]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
     for u, g in zip(urls, got):

@@ -579,3 +579,37 @@ def test_stateful_stream_rejects_trigger_once_with_idle_timeout(spark, tmp_path)
         start_domain_stats_stream(
             spark, str(tmp_path / "in"), str(tmp_path / "out"),
             str(tmp_path / "ckpt"), trigger_once=True, idle_timeout_ms=1000)
+
+
+def test_feature_parity_on_control_and_unicode_whitespace(spark):
+    """JVM (?U)\\s == Unicode White_Space; Python \\s additionally matches
+    \\x1c-\\x1f. The mirror now uses the exact Java set (PY_WS_RE), so CRLF,
+    NBSP, NEL, and C0-separator text must produce identical features on
+    both sides — these are exactly the inputs the fixture corpus lacks."""
+    from dataqualityassistant_spark.functions.html_text import (
+        html_to_text_column,
+        html_to_text_python,
+    )
+
+    texts = [
+        "hello world\r\nsecond line\r\n",     # CRLF: \r must trim from lines
+        "one\n\r\ntwo",                        # '\r'-only line is empty
+        "x\n\xa0\ny",                          # NBSP-only line is empty
+        "a\x1cb word",                         # C0 FS: NOT whitespace (Java)
+        "pad ded words",             # unicode spaces split words
+        "tab\tand\x85nel",                     # NEL splits on both sides
+        " \x1c lead\x1d trail \x1e ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text: string")
+    got = with_text_features(df).toPandas()
+    want = pandas_text_features(pd.Series(texts))
+    for col in FEATURE_COLUMNS:
+        g = got[col].astype(float)
+        w = want[col].astype(float).reset_index(drop=True)
+        ok = ((g.isna() & w.isna()) | ((g - w).abs() < 1e-9)).all()
+        assert ok, f"{col}: spark={list(g)} mirror={list(w)}"
+    # html collapse byte parity on the same adversarial set
+    hdf = spark.createDataFrame([(t.encode(),) for t in texts], "html: binary")
+    hg = [r[0] for r in hdf.select(html_to_text_column("html")).collect()]
+    hw = [html_to_text_python(t.encode()) for t in texts]
+    assert hg == hw, list(zip(hg, hw))

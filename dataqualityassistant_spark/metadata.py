@@ -93,6 +93,9 @@ class RuleStore:
             rule_config=row.get("rule_config"),
             is_active=row.get("is_active", True), is_draft=row.get("is_draft", False),
             confidence=row.get("confidence"),
+            # persisted on every create/update — reads must surface them or
+            # every rule reports a None age despite the data being on disk
+            created_at=row.get("created_at"), updated_at=row.get("updated_at"),
         )
 
     # -------------------------------------------------------------- writes

@@ -203,8 +203,13 @@ def _c_len_between(kwargs):
 def anchored_java_regex(pattern: str) -> str:
     """pandas ``str.match`` tests a match at the START of the string
     (reference quality_engine.py:343); Java ``rlike`` finds anywhere.
-    Wrap as ``^(?:pattern)`` to reproduce the anchoring."""
-    return f"^(?:{pattern})"
+    Wrap as ``^(?:pattern)`` to reproduce the anchoring, with ``(?U)`` so
+    Java's ``\\d``/``\\w``/``\\b`` use Unicode classes like Python's ``re``
+    (without it rlike's ASCII-only ``\\d`` rejects e.g. Arabic-Indic digits
+    that the pandas reference matches). Known residual divergence: boolean
+    columns stringify as 'true' on the JVM vs 'True' in pandas — regex
+    expectations over booleans are inherently engine-specific."""
+    return f"(?U)^(?:{pattern})"
 
 
 def regex_needs_python(pattern: str) -> bool:
@@ -281,7 +286,11 @@ def _c_unique(kwargs):
         "d": F.count_distinct(c),
         "hasnull": F.max(c.isNull().cast("long")),
     }
-    ce._count = lambda row, p: (row[f"{p}_n"] or 0) - (row[f"{p}_d"] or 0) - (row[f"{p}_hasnull"] or 0)
+    # clamped at 0: with the engine's approx_unique option the sketch can
+    # OVERestimate d past n on an all-unique column, and a negative
+    # unexpected_count/percent is nonsense in the metrics output
+    ce._count = lambda row, p: max(
+        0, (row[f"{p}_n"] or 0) - (row[f"{p}_d"] or 0) - (row[f"{p}_hasnull"] or 0))
     return ce
 
 
@@ -521,6 +530,12 @@ def _c_in_table_set(kwargs):
     column, ref_table (path or catalog name), ref_column. The engine
     resolves it as a broadcast left-anti join (violations = non-null values
     absent from the reference column); nulls pass, like in_set."""
+    if not kwargs.get("ref_table"):
+        # without this the engine would skip the anti-join branch and fall
+        # through to the unconditional-zero count — a misconfigured FK check
+        # reporting green forever
+        raise ValueError(
+            "expect_column_values_to_be_in_table_set requires 'ref_table'")
     ce = CompiledExpectation(
         expectation_type="expect_column_values_to_be_in_table_set",
         kwargs=kwargs,

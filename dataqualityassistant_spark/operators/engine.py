@@ -143,13 +143,26 @@ class SuiteEngine:
             agg_row = df.agg(F.count(F.lit(1)).alias("__element_count")).collect()[0].asDict()
             for i, (_, ces) in enumerate(compiled):
                 for j, ce in enumerate(ces):
-                    if ce.error is None and ce._agg:
-                        try:
+                    if ce.error is not None:
+                        continue
+                    prefix = f"r{i}e{j}"
+                    try:
+                        if ce.pre_project and ce.unexpected_mask is not None:
+                            # window masks have no ce._agg — replay the same
+                            # project→sum shape agg_frame uses, or a healthy
+                            # 'increasing' expectation would be poisoned by
+                            # an unrelated malformed one (KeyError on _u)
                             agg_row.update(
-                                df.agg(*ce.agg_exprs(f"r{i}e{j}")).collect()[0].asDict())
-                        except Exception as e:
-                            ce.error = str(e)
-                            ce.unexpected_mask = None
+                                df.select(ce.unexpected_mask.alias("__ppm"))
+                                .agg(F.sum(F.when(F.col("__ppm"), 1).otherwise(0))
+                                     .alias(f"{prefix}_u"))
+                                .collect()[0].asDict())
+                        elif ce._agg:
+                            agg_row.update(
+                                df.agg(*ce.agg_exprs(prefix)).collect()[0].asDict())
+                    except Exception as e:
+                        ce.error = str(e)
+                        ce.unexpected_mask = None
         element_count = int(agg_row["__element_count"])
 
         results = []
@@ -314,10 +327,12 @@ class SuiteEngine:
             if ce.values_kind is not None:
                 result["unexpected_values"] = []  # filled below or by flush
             if ce.values_kind == "dups":
-                result["unexpected_values"] = [
-                    _serialize_value(r[0]) for r in self._dup_values(df, ce.column, self.max_unexpected_values)
-                ]
-                out["sample_rows"] = self._fetch_samples(df, ce)
+                dup_rows = self._dup_values(df, ce.column, self.max_unexpected_values)
+                dup_vals = [r[0] for r in dup_rows]
+                result["unexpected_values"] = [_serialize_value(v) for v in dup_vals]
+                # reuse the fetched values: the sample fetch used to re-run
+                # the identical full-table duplicate groupBy a second time
+                out["sample_rows"] = self._fetch_samples(df, ce, dup_vals=dup_vals[:5])
             elif ce.unexpected_mask is not None and pending_samples is not None:
                 # mask-based fetches are deferred and batched into ONE job
                 # for the whole suite (see _flush_pending_samples)
@@ -353,8 +368,11 @@ class SuiteEngine:
         cols = [F.col(c) for c in dfp.columns]
         branches = []
         for tag, (ce, _result, _out) in enumerate(pending):
+            # filter the FULL frame, project afterwards: a mask referencing
+            # a pruned binary column (e.g. not_be_null on pages.html) would
+            # otherwise fail analysis and crash the whole suite run
             branches.append(
-                self._mask_filtered(dfp, ce)
+                self._mask_filtered(df, ce)
                 .select(F.lit(tag).alias("__tag"), F.struct(*cols).alias("__row"))
                 .limit(limit)
             )
@@ -397,16 +415,24 @@ class SuiteEngine:
         keep = [f.name for f in df.schema.fields if not isinstance(f.dataType, T.BinaryType)]
         return df.select(*keep) if len(keep) != len(df.schema.fields) else df
 
-    def _fetch_samples(self, df: DataFrame, ce: CompiledExpectation) -> list[dict]:
+    def _fetch_samples(self, df: DataFrame, ce: CompiledExpectation,
+                       dup_vals: list | None = None) -> list[dict]:
         dfp = self._sample_projection(df)
         if ce.samples_kind == "mask" and ce.unexpected_mask is not None:
-            rows = self._mask_filtered(dfp, ce).limit(self.max_sample_rows).collect()
+            # filter the full frame, project after (mask may reference a
+            # pruned binary column — see _flush_pending_samples)
+            rows = (self._mask_filtered(df, ce).select(*dfp.columns)
+                    .limit(self.max_sample_rows).collect())
             return [_row_to_sample(r) for r in rows]
         if ce.samples_kind == "dups":
             # reference :383-395: ≤5 dup values × ≤2 rows each, cap 5 total;
             # pandas `df[col] == NaN` matches nothing, so null dup groups
             # contribute no samples — filter nulls out of the fetch.
-            dup_vals = [r[0] for r in self._dup_values(df, ce.column, 5) if r[0] is not None]
+            # dup_vals lets the caller reuse its already-fetched duplicate
+            # values instead of paying the full-table groupBy a second time.
+            if dup_vals is None:
+                dup_vals = [r[0] for r in self._dup_values(df, ce.column, 5)]
+            dup_vals = [v for v in dup_vals if v is not None]
             samples: list[dict] = []
             for v in dup_vals[:5]:
                 rows = dfp.filter(F.col(ce.column) == F.lit(v)).limit(2).collect()
@@ -421,12 +447,18 @@ class SuiteEngine:
     def keep_mask(self, rules: Iterable[Rule]) -> Column:
         """Per-row keep predicate: a row is kept iff NO row-local expectation
         flags it. (Row-granular analog of rule success = AND of expectations,
-        reference quality_engine.py:445-446.) Set-level checks (uniqueness,
-        of_type) don't contribute row verdicts — dedup is its own operator."""
+        reference quality_engine.py:445-446.) Expectations without a
+        ROW-LOCAL verdict contribute nothing, by contract: set-level checks
+        (uniqueness, of_type — dedup is its own operator), window-based
+        masks (``increasing`` — a window expression is illegal in WHERE),
+        and two-pass z-scores (μ/σ need their own aggregate). The pandas
+        counterpart (``oracle.oracle_keep_mask``) skips the SAME set so the
+        engine/oracle verdicts stay in lockstep."""
         mask = F.lit(True)
         for _, ces in self.compile_rules(rules):
             for ce in ces:
-                if ce.unexpected_mask is not None:
+                if (ce.unexpected_mask is not None and not ce.pre_project
+                        and getattr(ce, "zscore_threshold", None) is None):
                     mask = mask & ~ce.unexpected_mask
         return mask
 

@@ -218,14 +218,27 @@ def oracle_expectation(df: pd.DataFrame, expectation_type: str, kwargs: dict[str
             "error": f"Expectation type '{expectation_type}' not implemented in direct evaluation mode"}
 
 
+# expectations with no ROW-LOCAL verdict — the Spark engine's keep_mask
+# skips exactly this set (set-level, window-based, or two-pass), so the
+# oracle must too or the verdicts drift out of lockstep
+_NON_ROW_LOCAL = frozenset({
+    "expect_column_values_to_be_unique",
+    "expect_column_values_to_be_increasing",
+    "expect_column_value_z_scores_to_be_less_than",
+})
+
+
 def oracle_keep_mask(df: pd.DataFrame, rules) -> pd.Series:
     """Row-level keep verdict: keep iff no row-local expectation flags the
-    row (same predicates the Spark engine's keep_mask compiles)."""
+    row (same predicates the Spark engine's keep_mask compiles; the same
+    non-row-local expectation types are skipped on both sides)."""
     keep = pd.Series(True, index=df.index)
     for rule in rules:
         for e in rule.expectations:
+            if e.expectation_type in _NON_ROW_LOCAL:
+                continue
             r = oracle_expectation(df, e.expectation_type, e.kwargs)
             mask = r.get("mask")
-            if mask is not None and e.expectation_type != "expect_column_values_to_be_unique":
+            if mask is not None:
                 keep = keep & ~mask
     return keep

@@ -48,31 +48,42 @@ def random_sample(df: DataFrame, n: int = 100, seed: int = SAMPLE_SEED) -> list[
 def column_statistics(df: DataFrame) -> dict[str, dict[str, Any]]:
     """Typed stats for ALL columns in one aggregate pass (vs the reference's
     one sampled subquery per column, app/main.py:847-955)."""
+    # aliases are positional (__a0, __a1, ...), decoded via the per-column
+    # stat-name list built alongside: decoding by name-prefix would let a
+    # column that is a '__'-prefix of another (e.g. 'a' and 'a__b') absorb
+    # the other's stats into its dict
     aggs: list = [F.count(F.lit(1)).alias("__n")]
+    per_col: dict[str, list[tuple[str, str]]] = {}
+
+    def add(name: str, stat: str, expr) -> None:
+        alias = f"__a{len(aggs)}"
+        aggs.append(expr.alias(alias))
+        per_col.setdefault(name, []).append((stat, alias))
+
     for f in df.schema.fields:
         c, name = F.col(f.name), f.name
-        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{name}__nulls"))
+        add(name, "nulls", F.count(F.lit(1)) - F.count(c))
         if isinstance(f.dataType, _NUMERIC):
-            aggs += [F.min(c).alias(f"{name}__min"), F.max(c).alias(f"{name}__max"),
-                     F.avg(c).alias(f"{name}__avg")]
+            add(name, "min", F.min(c))
+            add(name, "max", F.max(c))
+            add(name, "avg", F.avg(c))
         elif isinstance(f.dataType, T.StringType):
-            aggs += [F.min(F.length(c)).alias(f"{name}__min_len"),
-                     F.max(F.length(c)).alias(f"{name}__max_len"),
-                     F.avg(F.length(c)).alias(f"{name}__avg_len")]
+            add(name, "min_len", F.min(F.length(c)))
+            add(name, "max_len", F.max(F.length(c)))
+            add(name, "avg_len", F.avg(F.length(c)))
         elif isinstance(f.dataType, _TEMPORAL):
-            aggs += [F.min(c).alias(f"{name}__min"), F.max(c).alias(f"{name}__max")]
+            add(name, "min", F.min(c))
+            add(name, "max", F.max(c))
         elif isinstance(f.dataType, T.BooleanType):
-            aggs += [F.sum(F.when(c, 1).otherwise(0)).alias(f"{name}__true"),
-                     F.sum(F.when(~c, 1).otherwise(0)).alias(f"{name}__false")]
+            add(name, "true", F.sum(F.when(c, 1).otherwise(0)))
+            add(name, "false", F.sum(F.when(~c, 1).otherwise(0)))
     row = df.agg(*aggs).collect()[0].asDict()
     n = row.pop("__n")
     out: dict[str, dict[str, Any]] = {}
     for f in df.schema.fields:
         stats = {"total_rows": n, "data_type": f.dataType.simpleString()}
-        prefix = f"{f.name}__"
-        for k, v in row.items():
-            if k.startswith(prefix):
-                stats[k[len(prefix):]] = v
+        for stat, alias in per_col.get(f.name, []):
+            stats[stat] = row[alias]
         out[f.name] = stats
     return out
 
@@ -264,19 +275,23 @@ def rule_from_description(description: str, columns: list[str]) -> dict[str, Any
         return None
     numbers = [float(x) for x in re.findall(r"\d+(?:\.\d+)?", d)]
 
-    if any(k in d for k in ("not null", "not be null", "required", "mandatory", "no null")):
-        return {"expectation_type": "expect_column_values_to_not_be_null",
-                "kwargs": {"column": target}, "confidence": 60}
+    # precedence, keywords, and confidences follow the reference's
+    # _create_fallback_rule (rule_generator.py:446-496): unique first
+    # (conf 50), then the null family — bare 'null'/'missing'/'empty'
+    # count, not just 'not null' — as not_be_null mostly=0.95 conf 60
     if "unique" in d or "duplicate" in d:
         return {"expectation_type": "expect_column_values_to_be_unique",
-                "kwargs": {"column": target}, "confidence": 60}
+                "kwargs": {"column": target}, "confidence": 50}
+    if any(k in d for k in ("null", "missing", "empty", "required", "mandatory")):
+        return {"expectation_type": "expect_column_values_to_not_be_null",
+                "kwargs": {"column": target, "mostly": 0.95}, "confidence": 60}
     if "email" in d:
         return {"expectation_type": "expect_column_values_to_match_regex",
                 "kwargs": {"column": target, "regex": EMAIL_REGEX}, "confidence": 50}
     if ("between" in d or "range" in d) and len(numbers) >= 2:
         return {"expectation_type": "expect_column_values_to_be_between",
                 "kwargs": {"column": target, "min_value": numbers[0], "max_value": numbers[1]},
-                "confidence": 50}
+                "confidence": 55}
     if any(k in d for k in ("greater than", "at least", "minimum")) and numbers:
         return {"expectation_type": "expect_column_values_to_be_between",
                 "kwargs": {"column": target, "min_value": numbers[0]}, "confidence": 40}
@@ -290,4 +305,4 @@ def rule_from_description(description: str, columns: list[str]) -> dict[str, Any
             return {"expectation_type": "expect_column_values_to_be_in_set",
                     "kwargs": {"column": target, "value_set": values}, "confidence": 50}
     return {"expectation_type": "expect_column_values_to_not_be_null",
-            "kwargs": {"column": target}, "confidence": 30}
+            "kwargs": {"column": target, "mostly": 0.95}, "confidence": 30}

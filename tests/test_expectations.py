@@ -532,3 +532,89 @@ def test_ge_suite_import_runs_identically(spark):
     assert "not implemented" in kinds["expect_table_to_levitate"]["error"]
     # round-trip preserves the suite
     assert from_ge_suite(to_ge_suite(imported), rule_id=9).config_json() == imported.config_json()
+
+
+# ------------------------------------------------ round-5 core review fixes
+
+def test_binary_column_mask_samples_do_not_crash_suite(spark):
+    """A failing expectation whose mask references a BINARY column must not
+    crash the suite: the sample projection prunes binary columns, so the
+    mask filter has to run against the full frame before projecting."""
+    rows = [(1, b"payload", "a"), (2, None, "b"), (3, None, "c")]
+    df = spark.createDataFrame(rows, "id: long, html: binary, t: string")
+    out = run_suite(df, [Rule(id=1, name="r", rule_config=[
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "html"}}])])
+    r = out["results"][0]["results"][0]
+    assert r["success"] is False and "error" not in r
+    assert r["result"]["unexpected_count"] == 2
+    assert len(r["sample_rows"]) == 2
+    assert all("html" not in s for s in r["sample_rows"])  # binary pruned
+
+
+def test_fallback_preserves_window_expectation(spark):
+    """One malformed regex must not poison an unrelated window-based
+    ('increasing') expectation: the per-expectation fallback replays the
+    pre-projection for window masks instead of KeyError-ing on the missing
+    aggregate alias."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 9), (3, 11)], "id: long, v: long")
+    out = run_suite(df, [Rule(id=1, name="r", rule_config=[
+        {"expectation_type": "expect_column_values_to_match_regex",
+         "kwargs": {"column": "v", "regex": "*invalid"}},   # JVM-rejected
+        {"expectation_type": "expect_column_values_to_be_increasing",
+         "kwargs": {"column": "v", "order_by": "id"}},
+    ])])
+    bad, inc = out["results"][0]["results"]
+    assert bad["success"] is False and bad.get("error")
+    assert "error" not in inc
+    assert inc["result"]["unexpected_count"] == 1  # v drops 10 -> 9 once
+
+
+def test_in_table_set_missing_ref_table_errors(spark):
+    """Omitting ref_table must produce an ERRORED expectation, not an
+    unconditional green (the engine would skip the anti-join and fall
+    through to a constant-zero count)."""
+    df = spark.createDataFrame([(1,)], "author_id: long")
+    out = run_suite(df, [Rule(id=1, name="r", rule_config=[
+        {"expectation_type": "expect_column_values_to_be_in_table_set",
+         "kwargs": {"column": "author_id", "ref_column": "id"}}])])
+    r = out["results"][0]["results"][0]
+    assert r["success"] is False and "ref_table" in r.get("error", "")
+
+
+def test_keep_mask_skips_non_row_local_and_matches_oracle(spark):
+    """keep_mask over rules containing increasing + z-score expectations
+    must be filterable (no window-in-WHERE AnalysisException) and agree
+    with oracle_keep_mask, which skips the same non-row-local set."""
+    from dataqualityassistant_spark.oracle import oracle_keep_mask
+
+    rows = [(1, 10, "x"), (2, 9, None), (3, 11, "y"), (4, 200, "z")]
+    df = spark.createDataFrame(rows, "id: long, v: long, t: string")
+    rules = [Rule(id=1, name="r", rule_config=[
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "t"}},
+        {"expectation_type": "expect_column_values_to_be_increasing",
+         "kwargs": {"column": "v", "order_by": "id"}},
+        {"expectation_type": "expect_column_value_z_scores_to_be_less_than",
+         "kwargs": {"column": "v", "threshold": 1.5}},
+    ])]
+    eng = SuiteEngine()
+    kept = sorted(r["id"] for r in df.filter(eng.keep_mask(rules)).collect())
+    pdf = pd.DataFrame(rows, columns=["id", "v", "t"])
+    want = sorted(pdf[oracle_keep_mask(pdf, rules)]["id"].tolist())
+    assert kept == want == [1, 3, 4]
+
+
+def test_regex_unicode_digits_match_pandas(spark):
+    """Java rlike's \\d is ASCII-only without (?U); the pandas reference
+    matches Unicode digits — the compiled pattern must agree."""
+    df = spark.createDataFrame([("٣٤",), ("12",), ("xx",)], "t: string")
+    out = run_suite(df, [Rule(id=1, name="r", rule_config=[
+        {"expectation_type": "expect_column_values_to_match_regex",
+         "kwargs": {"column": "t", "regex": r"\d+"}}])])
+    got = out["results"][0]["results"][0]["result"]["unexpected_count"]
+    pdf = pd.DataFrame({"t": ["٣٤", "12", "xx"]})
+    want = oracle_expectation(pdf, "expect_column_values_to_match_regex",
+                              {"column": "t", "regex": r"\d+"})["unexpected_count"]
+    assert got == want == 1

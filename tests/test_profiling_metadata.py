@@ -229,3 +229,39 @@ def test_suggest_range_rules(spark):
     rule = Rule(id=1, name=sugg["v"]["rule_name"], rule_config=sugg["v"]["rule_config"])
     res = run_suite(df, [rule])["results"][0]["results"][0]
     assert res["success"] is True
+
+
+def test_column_statistics_prefix_collision(spark):
+    """A column that is a '__'-prefix of another must not absorb the other
+    column's stats (decoding is by positional alias, not name prefix)."""
+    from dataqualityassistant_spark.profiling import column_statistics
+
+    df = spark.createDataFrame([(1, "ab"), (2, "cde")], "a: long, a__b: string")
+    stats = column_statistics(df)
+    assert set(stats["a"]) == {"total_rows", "data_type", "nulls", "min", "max", "avg"}
+    assert "b__nulls" not in stats["a"] and "b__min_len" not in stats["a"]
+    assert stats["a__b"]["min_len"] == 2 and stats["a__b"]["max_len"] == 3
+
+
+def test_rule_from_description_reference_keywords():
+    """Bare 'missing'/'empty'/'null' route to not_be_null (mostly=0.95,
+    conf 60) like the reference's _create_fallback_rule; unique is conf 50."""
+    cols = ["email", "price"]
+    r = rule_from_description("flag missing values in email", cols)
+    assert r["expectation_type"] == "expect_column_values_to_not_be_null"
+    assert r["kwargs"]["mostly"] == 0.95 and r["confidence"] == 60
+    r2 = rule_from_description("email must not be empty", cols)
+    assert r2["expectation_type"] == "expect_column_values_to_not_be_null"
+    r3 = rule_from_description("email values should be unique", cols)
+    assert r3["confidence"] == 50
+
+
+def test_rule_store_roundtrips_timestamps(tmp_path):
+    from dataqualityassistant_spark.metadata import RuleStore
+
+    store = RuleStore(str(tmp_path))
+    r = store.create_rule("r1", "t", [{"expectation_type": "expect_column_values_to_not_be_null",
+                                       "kwargs": {"column": "a"}}])
+    got = store.get_rule(r.id)
+    assert got.created_at is not None
+    assert got.updated_at is not None

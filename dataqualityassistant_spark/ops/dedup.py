@@ -241,10 +241,46 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 #: shingles processed per slab inside minhash_signature_batch: bounds the
-#: (shingles × n_hashes) uint64 matrix (250k × 128 × 8 B ≈ 256 MB plus ~2
-#: ufunc temporaries). Without it a 10k-row Arrow batch of ~4 KB web docs
-#: (~4e7 shingles) would allocate a ~40 GB matrix and OOM the worker.
-_MINHASH_SLAB = 250_000
+#: transient working set of :func:`_minhash_fold_mins` (input slab + one
+#: per-hash row + fold temporary ≈ 3 × slab × 8 B ≈ 48 MB at 2M). Without
+#: it a 10k-row Arrow batch of ~4 KB web docs (~4e7 shingles) would hold a
+#: ~320 MB input array per concurrent flush — workable, but unbounded doc
+#: sizes would not be. (r6: the slab was 250k when the kernel materialized
+#: the full shingles × n_hashes matrix; the row-at-a-time kernel's memory
+#: is independent of n_hashes, so the slab grew 8× — fewer flushes, same
+#: bound, bit-identical minima since min is associative.)
+_MINHASH_SLAB = 2_000_000
+
+
+def _minhash_fold_mins(concat: np.ndarray, offsets: np.ndarray,
+                       au: np.ndarray, bu: np.ndarray) -> np.ndarray:
+    """Per-segment minima of ``((h * a_j + b_j) mod 2^64) mod p`` for every
+    hash row j — bit-identical to the dense ``(concat[:,None]*a + b) % p``
+    matrix followed by a 2D axis-0 ``minimum.reduceat``, but ~6x faster
+    (measured on a 437k-shingle slab):
+
+    * the Mersenne mod is a shift-add fold — for any uint64 x,
+      ``x % (2^61-1) == fold(x)`` where ``fold = (x>>61) + (x & p)`` then one
+      conditional subtract (the fold is < p+8, and == p maps to 0 exactly as
+      the mod does) — no vectorized 64-bit integer division;
+    * each hash row is one contiguous 1D pass + 1D ``np.minimum.reduceat``.
+      The 2D axis-0 reduceat drops into numpy's generic strided inner loop
+      (~18x penalty — same lesson as simhash's vote gather, r4).
+
+    Returns (n_segments, n_hashes) int64."""
+    p = np.uint64(_MERSENNE)
+    sh = np.uint64(61)
+    out = np.empty((au.size, len(offsets)), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(au.size):
+            v = concat * au[j]
+            v += bu[j]
+            hi = v >> sh
+            v &= p
+            v += hi
+            np.subtract(v, p, out=v, where=v >= p)
+            out[j] = np.minimum.reduceat(v, offsets)
+    return out.T.astype(np.int64)
 
 
 def minhash_signature_batch(texts, n_hashes: int = 128, shingle: int = 9,
@@ -252,17 +288,15 @@ def minhash_signature_batch(texts, n_hashes: int = 128, shingle: int = 9,
     """MinHash signatures for a batch of texts — the pure function shared by
     the Spark UDF and the driver-side oracle (bit-identical by construction).
 
-    Batched across documents: shingle hashes are concatenated into
-    ``(a*h + b) mod p`` matrices of at most :data:`_MINHASH_SLAB` shingle
-    rows (docs grouped greedily; an oversized single doc is reduced
-    slab-wise with ``np.minimum``), and the per-doc minima come from
-    ``np.minimum.reduceat`` over the segment offsets — no per-document
-    numpy dispatch in the hot loop (the per-doc loop was ~40% of the
-    MinHash stage's time), bounded memory regardless of batch/doc size,
-    bit-identical results (min is associative)."""
+    Batched across documents: shingle hashes are concatenated into slabs of
+    at most :data:`_MINHASH_SLAB` rows (docs grouped greedily; an oversized
+    single doc is reduced slab-wise with ``np.minimum``) and handed to
+    :func:`_minhash_fold_mins` — one contiguous fold + 1D segment-reduceat
+    per hash row, no per-document numpy dispatch in the hot loop, bounded
+    memory regardless of batch/doc size, bit-identical results (min is
+    associative)."""
     a, b = _hash_params(n_hashes, seed)
     au, bu = a.astype(np.uint64), b.astype(np.uint64)
-    p = np.uint64(_MERSENNE)
     hashes, lengths = [], []
     for t in texts:
         h = _shingle_hashes(t, shingle)
@@ -274,13 +308,13 @@ def minhash_signature_batch(texts, n_hashes: int = 128, shingle: int = 9,
         return out
 
     def flush(group: list[int]) -> None:
-        concat = np.concatenate([hashes[i] for i in group]).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            vals = (concat[:, None] * au[None, :] + bu[None, :]) % p
+        concat = np.concatenate([hashes[i] for i in group]).view(np.uint64)
         offsets = np.cumsum([0] + [hashes[i].size for i in group[:-1]])
-        mins = np.minimum.reduceat(vals, offsets, axis=0).astype(np.int64)
+        # bulk tolist() on the 2D result: one C call instead of a Python
+        # round-trip per document row
+        rows = _minhash_fold_mins(concat, offsets, au, bu).tolist()
         for row, i in enumerate(group):
-            out[i] = mins[row].tolist()
+            out[i] = rows[row]
 
     group: list[int] = []
     gsum = 0
@@ -289,14 +323,13 @@ def minhash_signature_batch(texts, n_hashes: int = 128, shingle: int = 9,
             continue
         if n > _MINHASH_SLAB:
             # outlier doc larger than a slab: reduce its own hashes slab-wise
-            h = hashes[i].astype(np.uint64)
+            h = hashes[i].view(np.uint64)
             acc = None
             for s in range(0, h.size, _MINHASH_SLAB):
-                with np.errstate(over="ignore"):
-                    part = (h[s:s + _MINHASH_SLAB, None] * au[None, :] + bu[None, :]) % p
-                m = part.min(axis=0)
+                m = _minhash_fold_mins(h[s:s + _MINHASH_SLAB],
+                                       np.zeros(1, dtype=np.int64), au, bu)[0]
                 acc = m if acc is None else np.minimum(acc, m)
-            out[i] = acc.astype(np.int64).tolist()
+            out[i] = acc.tolist()
             continue
         if gsum + n > _MINHASH_SLAB and group:
             flush(group)

@@ -23,6 +23,7 @@ import math
 from collections import Counter
 from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -95,10 +96,93 @@ _LANGID_TYPE = T.StructType(
 )
 
 
+@lru_cache(maxsize=1)
+def _profiles_dense() -> tuple[np.ndarray, int, list[str], np.ndarray, np.ndarray]:
+    """Vectorized form of :func:`_profiles`: a codepoint → char-id LUT over
+    the union training vocabulary (0 = out-of-vocabulary) plus, per language,
+    a dense ``K³`` float64 table indexed ``(i0·K + i1)·K + i2`` — every slot
+    not keyed in that language's profile (including all id-0 slots)
+    initialized to its ``__oov__`` value, so a gather reproduces
+    ``table.get(gram, oov)`` exactly."""
+    profiles = _profiles()
+    chars = sorted({c for table in profiles.values() for g in table for c in g
+                    if g != "__oov__"})
+    K = len(chars) + 1
+    lut = np.zeros(0x110000, dtype=np.int32)
+    for i, c in enumerate(chars, start=1):
+        lut[ord(c)] = i
+    langs = sorted(profiles)  # sorted: the tie-break below needs this order
+    dense = np.empty((len(langs), K * K * K), dtype=np.float64)
+    oovs = np.empty(len(langs), dtype=np.float64)
+    for li, lang in enumerate(langs):
+        table = profiles[lang]
+        dense[li].fill(table["__oov__"])
+        oovs[li] = table["__oov__"]
+        for g, v in table.items():
+            if g == "__oov__":
+                continue
+            i0, i1, i2 = (int(lut[ord(c)]) for c in g)
+            dense[li][(i0 * K + i1) * K + i2] = v
+    return lut, K, langs, dense, oovs
+
+
+def classify_batch(texts) -> list[tuple[str, float]]:
+    """Batch form of :func:`classify_text` — bit-identical per document
+    (differentially asserted in tests). The per-gram dict work becomes one
+    UTF-32 decode + LUT gather + ``np.unique`` + one dense gather per
+    language; the score sum replays the serial loop exactly: unique grams in
+    FIRST-OCCURRENCE order (``Counter`` iterates insertion order), each
+    contributing ``count * logp`` as one multiply, accumulated left-to-right
+    via ``np.cumsum``. Distinct out-of-vocabulary chars all map to LUT id 0,
+    which would merge distinct unseen trigrams (changing the grouping and
+    therefore the float sum), so OOV chars are re-assigned unique per-doc
+    ids before grouping — gram identity then matches string identity."""
+    lut, K, langs, dense, _ = _profiles_dense()
+    out = []
+    for text in texts:
+        if text is None or len(text) < MIN_CHARS:
+            out.append((UNKNOWN, 0.0))
+            continue
+        t = f"  {text[:2000].lower()}  "
+        n = len(t) - NGRAM + 1
+        if n <= 0:
+            out.append((UNKNOWN, 0.0))
+            continue
+        try:
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        except UnicodeEncodeError:
+            out.append(classify_text(text))  # lone surrogates: scalar path
+            continue
+        # group occurrences by the raw codepoint triple packed into 63 bits
+        # (codepoints < 2^21): packed equality == string-trigram equality,
+        # so the grouping matches Counter's exactly — no vocab aliasing
+        c64 = codes.astype(np.int64)
+        tri_key = (c64[:-2] << 42) | (c64[1:-1] << 21) | c64[2:]
+        _, first_idx, counts = np.unique(tri_key, return_index=True,
+                                         return_counts=True)
+        order = np.argsort(first_idx, kind="stable")
+        first_idx = first_idx[order]
+        cnts = counts[order].astype(np.float64)
+        # dense-table slot of each unique gram, via its first occurrence:
+        # all occurrences share the string trigram, hence the same slot
+        ids = lut[codes].astype(np.int64)
+        tri_in = (ids[first_idx] * K + ids[first_idx + 1]) * K + ids[first_idx + 2]
+        # one (n_langs, n_unique) gather; axis-1 cumsum accumulates each row
+        # strictly left to right == the serial per-gram loop
+        totals = np.cumsum(cnts[None, :] * dense[:, tri_in], axis=1)[:, -1]
+        scores = {lang: float(totals[li]) / n for li, lang in enumerate(langs)}
+        best = max(sorted(scores), key=lambda k: scores[k])
+        ranked = sorted(scores.values(), reverse=True)
+        margin = ranked[0] - ranked[1] if len(ranked) > 1 else 0.0
+        out.append((best, margin))
+    return out
+
+
 @pandas_udf(_LANGID_TYPE)
 def langid_udf(texts: pd.Series) -> pd.DataFrame:
-    out = texts.map(classify_text)
-    return pd.DataFrame({"lang": out.map(lambda t: t[0]), "margin": out.map(lambda t: t[1])})
+    out = classify_batch(list(texts))
+    return pd.DataFrame({"lang": [t[0] for t in out],
+                         "margin": [t[1] for t in out]}, index=texts.index)
 
 
 def with_langid(df, text_col: str = "text", out_col: str = "langid") -> "DataFrame":

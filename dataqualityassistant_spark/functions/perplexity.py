@@ -16,6 +16,7 @@ import math
 from collections import Counter
 from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -64,9 +65,65 @@ def log_perplexity(text: str | None) -> float:
     return -total / n
 
 
+@lru_cache(maxsize=1)
+def _model_dense() -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized form of :func:`_model`: a codepoint → char-id LUT (0 = any
+    char outside the training vocabulary) and a dense ``K³`` float64 table
+    indexed by ``(i0·K + i1)·K + i2`` holding the trigram log-probs, with
+    every slot not seen in training (including every slot touching id 0)
+    initialized to the fallback — exactly ``table.get(gram, fallback)``.
+    Distinct OOV chars may share id 0: two different unseen trigrams then
+    alias to one table slot, but both read the SAME fallback value, and
+    :func:`log_perplexity_batch` sums per POSITION (not per unique gram), so
+    aliasing cannot change any sum."""
+    table, fallback = _model()
+    chars = sorted({c for g in table for c in g})
+    K = len(chars) + 1
+    lut = np.zeros(0x110000, dtype=np.int32)
+    for i, c in enumerate(chars, start=1):
+        lut[ord(c)] = i
+    dense = np.full(K * K * K, fallback, dtype=np.float64)
+    for g, v in table.items():
+        i0, i1, i2 = (int(lut[ord(c)]) for c in g)
+        dense[(i0 * K + i1) * K + i2] = v
+    return lut, dense, K
+
+
+def log_perplexity_batch(texts) -> list[float]:
+    """Batch form of :func:`log_perplexity` — bit-identical per document
+    (differentially asserted in tests), ~10x faster: the per-char slice +
+    dict.get loop becomes one UTF-32 decode, one LUT gather, one dense-table
+    gather and a cumulative sum. ``np.cumsum`` accumulates strictly left to
+    right (it must produce every prefix), so its last element equals the
+    serial ``total += ...`` loop's float64 result exactly."""
+    lut, dense, K = _model_dense()
+    out = []
+    for text in texts:
+        if not text:
+            out.append(float("nan"))
+            continue
+        t = f"  {text[:MAX_CHARS].lower()} "
+        n = len(t) - 2
+        if n <= 0:
+            out.append(float("nan"))
+            continue
+        try:
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        except UnicodeEncodeError:
+            # lone surrogates (possible via surrogatepass upstream) cannot
+            # encode; the scalar path slices strings and never encodes
+            out.append(log_perplexity(text))
+            continue
+        ids = lut[codes].astype(np.int64)
+        tri = (ids[:-2] * K + ids[1:-1]) * K + ids[2:]
+        total = float(np.cumsum(dense[tri])[-1])
+        out.append(-total / n)
+    return out
+
+
 @pandas_udf(T.DoubleType())
 def perplexity_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(log_perplexity)
+    return pd.Series(log_perplexity_batch(list(texts)), index=texts.index)
 
 
 def with_perplexity(df, text_col: str = "text", out_col: str = "log_ppl"):

@@ -33,8 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from dataqualityassistant_spark.functions.langid import classify_text
-from dataqualityassistant_spark.functions.perplexity import log_perplexity
+from dataqualityassistant_spark.functions.langid import classify_batch
+from dataqualityassistant_spark.functions.perplexity import log_perplexity_batch
 from dataqualityassistant_spark.functions.text_features import (
     FEATURE_COLUMNS,
     _pandas_features_one,
@@ -61,13 +61,17 @@ SCORE_FIELDS = [f.name for f in _SCORES_TYPE.fields]
 
 @pandas_udf(_SCORES_TYPE)
 def text_scores_udf(texts: pd.Series) -> pd.DataFrame:
+    # langid + perplexity run as the vectorized batch kernels (bit-identical
+    # to classify_text / log_perplexity — the pure per-doc spec functions the
+    # oracle replays; differential tests pin the batch==scalar invariant)
+    langs = classify_batch(list(texts))
+    ppls = log_perplexity_batch(list(texts))
     rows = []
-    for t in texts:
+    for t, (lang, margin), lp in zip(texts, langs, ppls):
         feats = _pandas_features_one(t)
-        lang, margin = classify_text(t)
         feats["detected_lang"] = lang
         feats["langid_margin"] = margin
-        feats["log_ppl"] = log_perplexity(t)
+        feats["log_ppl"] = lp
         rows.append(feats)
     out = pd.DataFrame(rows, columns=SCORE_FIELDS, index=texts.index)
     # NaN (e.g. log_ppl of an empty text) must reach Spark as NULL, not NaN:

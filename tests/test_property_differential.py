@@ -373,3 +373,98 @@ def test_winnowing_window_guarantee(words, _seed):
         assert got & set(window), f"window at {w0} contributed no fingerprint"
     # and nothing outside the hash universe is selected
     assert got <= set(hs)
+
+
+# --------------------------------------------------------------------------
+# r6 vectorized scoring kernels: batch == per-doc scalar spec, bit for bit
+
+
+_TEXT_ALPHABET = st.characters(
+    blacklist_categories=("Cs",),  # no lone surrogates via hypothesis text()
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(_TEXT_ALPHABET, max_size=400)),
+                min_size=0, max_size=8))
+def test_langid_batch_matches_scalar(docs):
+    from dataqualityassistant_spark.functions.langid import (
+        classify_batch,
+        classify_text,
+    )
+
+    assert classify_batch(docs) == [classify_text(t) for t in docs]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(_TEXT_ALPHABET, max_size=400)),
+                min_size=0, max_size=8))
+def test_perplexity_batch_matches_scalar(docs):
+    import math
+
+    from dataqualityassistant_spark.functions.perplexity import (
+        log_perplexity,
+        log_perplexity_batch,
+    )
+
+    got = log_perplexity_batch(docs)
+    want = [log_perplexity(t) for t in docs]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w or (math.isnan(g) and math.isnan(w))
+
+
+def test_langid_ppl_batch_surrogate_fallback():
+    """Lone surrogates cannot encode to UTF-32; the batch kernels must fall
+    back to the scalar slicing path, not crash."""
+    from dataqualityassistant_spark.functions.langid import (
+        classify_batch,
+        classify_text,
+    )
+    from dataqualityassistant_spark.functions.perplexity import (
+        log_perplexity,
+        log_perplexity_batch,
+    )
+
+    t = "the quick brown fox \udcff jumps over the lazy dog"
+    assert classify_batch([t]) == [classify_text(t)]
+    assert log_perplexity_batch([t]) == [log_perplexity(t)]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "x", "longword",
+                                 "Tie", "tie", "zz-1", "…"]),
+                min_size=0, max_size=120),
+       st.integers(0, 3))
+def test_repetition_numpy_matches_counter_spec(words, pad):
+    """The vectorized repetition path (base-V packing + np.unique + key
+    decode) must equal the Counter-over-word-tuples spec exactly, including
+    count-tie lexicographic gram selection. Long inputs force the numpy
+    path; `pad` appends unique words to vary the vocabulary."""
+    from dataqualityassistant_spark.functions.text_features import (
+        _repetition_counter,
+        repetition_features,
+    )
+
+    words = words + [f"uniq{i}" for i in range(pad * 30)]
+    text = " ".join(words)
+    if not text:
+        return
+    total = sum(len(w) for w in words)
+    want = ((0.0, 0.0, 0.0) if total == 0 or len(words) < 2
+            else _repetition_counter(words, total))
+    assert repetition_features(text) == want
+
+
+def test_repetition_void_fallback_matches_counter_spec():
+    """A >6208-word vocabulary overflows 5-digit base-V packing; the void-
+    view grouping fallback must still equal the Counter spec."""
+    from dataqualityassistant_spark.functions.text_features import (
+        _repetition_counter,
+        repetition_features,
+    )
+
+    words = [f"w{i}" for i in range(7000)] + [f"w{i}" for i in range(600)]
+    text = " ".join(words)
+    want = _repetition_counter(words, sum(len(w) for w in words))
+    assert repetition_features(text) == want

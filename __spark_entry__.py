@@ -199,7 +199,7 @@ def q_suite_documents(spark, sf_dir):
 
 
 def q_word_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     # explicit ASCII class == RE2 \s (the oracle engine); Java \s would
     # additionally swallow \x0B and silently diverge on such text
     words = F.filter(F.split(F.col("text"), "[ \t\n\f\r]+"), lambda w: w != F.lit(""))
@@ -211,7 +211,7 @@ def q_word_stats(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.when(F.col("text").isNotNull(),
@@ -225,7 +225,10 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_scrub_pii(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the 6-regex JVM chain is the most compute-heavy pure-JVM
+    # projection in the contract — single-row-group input serialized it
+    # (measured 2.7 s single-task vs 0.5 s spread at sf1.0)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select("doc_id", scrub_text_column("text").alias("scrubbed"))
 
 
@@ -355,7 +358,7 @@ def q_url_dedup(spark, sf_dir):
     regex chain — it states the expected canonical form directly from the
     same doc_id arithmetic, so the canonicalizer is checked against an
     independent spec."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     messy = F.concat(
         F.lit("HTTPS://WWW.Src"), (F.col("doc_id") % 7).cast("string"),
         F.lit(".Example.COM:443/p/"), (F.col("doc_id") % 17).cast("string"),
@@ -518,7 +521,7 @@ def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top-200 tokens by document-and-occurrence count —
     the tokenizer-training precursor (explode → two-phase hash agg → top-k
     via TakeOrderedAndProject; no global sort)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))).alias("token"))

@@ -484,6 +484,8 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             .agg(F.collect_list(id_col).alias("__ids"))
             .where((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size))
         )
+        from dataqualityassistant_spark.session import shuffle_parallelism
+
         expl = buckets.select(F.posexplode("__ids").alias("__i", "__u"), "__ids")
         cand = (
             expl.select(
@@ -492,6 +494,11 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             )
             .select(F.least("__u", "__v").alias("id_a"),
                     F.greatest("__u", "__v").alias("id_b"))
+            # explicit repartition: satisfies distinct's distribution AND the
+            # downstream attach-joins' parallelism; AQE would otherwise
+            # coalesce this small exchange to one task (see
+            # session.shuffle_parallelism; measured 4.5 -> 3.0 s at sf1.0)
+            .repartition(shuffle_parallelism(signatures), "id_a", "id_b")
             .distinct()
         )
     else:
@@ -1120,10 +1127,16 @@ def simhash_candidate_pairs(hashes: DataFrame, id_col: str = "doc_id",
             "__u",
             F.explode(F.slice("__ms", F.col("__i") + 2, F.size("__ms"))).alias("__v"),
         )
+        from dataqualityassistant_spark.session import shuffle_parallelism
+
         lo, hi = F.least("__u", "__v"), F.greatest("__u", "__v")
         cand = (
             pairw.select(lo["i"].alias("id_a"), hi["i"].alias("id_b"),
                          lo["h"].alias("h_a"), hi["h"].alias("h_b"))
+            # explicit repartition on the full distinct key: AQE would
+            # coalesce this small exchange to one task (see
+            # session.shuffle_parallelism)
+            .repartition(shuffle_parallelism(hashes), "id_a", "id_b", "h_a", "h_b")
             .distinct()  # a pair colliding on several chunks appears once
         )
     else:

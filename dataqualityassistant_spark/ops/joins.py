@@ -189,8 +189,16 @@ def asof_join(
             r = r.unionByName(carry_rows)
         part_cols.append("__asof_bucket")
 
-    # allowMissingColumns fills the absent struct with NULL on each side
-    unioned = l.unionByName(r, allowMissingColumns=True)
+    # allowMissingColumns fills the absent struct with NULL on each side.
+    # The explicit repartition IS the plan's one hash exchange: it satisfies
+    # the window's distribution requirement (no second exchange) while being
+    # exempt from AQE partition coalescing, which at small input sizes would
+    # fold the whole keyed sort into one task (r6; see
+    # session.shuffle_parallelism). Results are placement-independent.
+    from dataqualityassistant_spark.session import shuffle_parallelism
+
+    unioned = (l.unionByName(r, allowMissingColumns=True)
+               .repartition(shuffle_parallelism(left), *part_cols))
 
     if direction == "backward":
         order = [F.col("__asof_ts").asc_nulls_first(), F.col("__asof_side").asc()]

@@ -102,3 +102,26 @@ def tuned_session(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_parallelism(df) -> int:
+    """Partition count for an EXPLICIT repartition placed to satisfy a
+    downstream per-key operator (window sort, distinct, groupBy) — r6.
+
+    Why explicit: AQE's partition coalescing targets
+    ``advisoryPartitionSizeInBytes`` (64 MB default — sized for cluster-scale
+    exchanges), so a small-but-CPU-heavy shuffle (a window sort over a few
+    tens of MB, a collect_list bucket agg) coalesces to ONE task and
+    serializes on a single core. A user-specified ``repartition(n, keys)``
+    is exempt from coalescing, satisfies the operator's distribution
+    requirement (no extra exchange), and cannot change results — only
+    placement. ``max(defaultParallelism, spark.sql.shuffle.partitions)``
+    keeps cluster semantics: on a real cluster this equals the configured
+    shuffle partitioning, locally it pins minimum parallelism to the cores.
+    """
+    sess = df.sparkSession
+    try:
+        sp = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sp = 0  # e.g. "auto" under some AQE configurations
+    return max(sess.sparkContext.defaultParallelism, sp)

@@ -75,11 +75,14 @@ def kmeans_fit(vectors: np.ndarray, n_centroids: int, n_iters: int = 10) -> np.n
     x = _unit_rows(x)
     # first-seen distinct rows via hashed row bytes (±0.0 canonicalized so
     # equality matches ==) — the previous per-row array_equal scan was
-    # O(rows × centroids) driver time on duplicate-heavy samples
+    # O(rows × centroids) driver time on duplicate-heavy samples.
+    # r6: the -0.0 fold is one whole-matrix add (x + 0.0 maps -0.0 to +0.0
+    # and is the identity elsewhere) instead of a per-row np.where.
+    canon = x + 0.0
     seen: set[bytes] = set()
     order: list[int] = []
-    for i in range(x.shape[0]):
-        key = np.where(x[i] == 0.0, 0.0, x[i]).tobytes()
+    for i in range(canon.shape[0]):
+        key = canon[i].tobytes()
         if key not in seen:
             seen.add(key)
             order.append(i)
@@ -154,7 +157,9 @@ def train_ivf_centroids(
     sampled = _training_sample(df, vec_col, id_col, sample_fraction, salt, max_train_rows)
     rows = sampled.collect()
     rows.sort(key=lambda r: r[0])  # id order => deterministic fit
-    return kmeans_fit(np.array([list(r[1]) for r in rows]), n_centroids, n_iters)
+    # rows carry the embedding as a list already — no per-row list() copy
+    return kmeans_fit(np.array([r[1] for r in rows], dtype=np.float64),
+                      n_centroids, n_iters)
 
 
 def ivf_assign(
@@ -181,8 +186,18 @@ def ivf_assign(
                            dtype=np.int64, count=n)
         valid = lens == dim
         if valid.any():
-            m = _unit_rows(np.stack(arrs[valid]).astype(np.float64))
-            out[valid] = np.argmax(m @ c.T, axis=1).astype(np.int32)
+            m = np.stack(arrs[valid]).astype(np.float64)
+            # r6 (ADVICE): a NaN-element vector of the right dim passed the
+            # length guard, argmax over its all-NaN score row deterministically
+            # returned 0, and NaN vectors silently piled into list 0. Mask
+            # them to a NULL centroid like the other degenerate shapes
+            # (mirrors cosine_topk's NaN-drop policy).
+            finite = np.isfinite(m).all(axis=1)
+            if finite.any():
+                mf = _unit_rows(m[finite])
+                ids = np.argmax(mf @ c.T, axis=1).astype(np.int32)
+                tgt = np.flatnonzero(valid)[finite]
+                out[tgt] = ids
         return pd.Series(out)
 
     return df.withColumn(out_col, assign(F.col(vec_col)))

